@@ -1,0 +1,96 @@
+"""Photometric losses: L1, PSNR, SSIM, and the mapper's training loss.
+
+Equivalents of include/loss_utils.h (l1_loss :28-31, psnr :33-47, SSIM via
+11x11 sigma-1.5 Gaussian window and grouped conv :49-124) and the loss
+assembly of gaussian_mapper.cpp:415-429 — including its quirk of comparing
+masked render against the *unmasked* gt inside SSIM.
+
+Images are HWC float32 in [0,1]. The SSIM convs use zero padding (torch
+conv2d default) and run as one grouped XLA convolution at full precision.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_C1 = 0.01**2
+_C2 = 0.03**2
+
+
+@functools.lru_cache(maxsize=4)
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs**2) / (2.0 * sigma * sigma)).astype(np.float32)
+    g /= g.sum()
+    w2d = np.outer(g, g).astype(np.float32)
+    return jnp.asarray(w2d)
+
+
+def _filter(img: jnp.ndarray, window_size: int) -> jnp.ndarray:
+    """Grouped 11x11 conv, zero padding, per channel. img [H, W, C]."""
+    c = img.shape[-1]
+    w = _gaussian_window(window_size)
+    kernel = jnp.broadcast_to(w[None, None], (c, 1, window_size, window_size))
+    x = img.transpose(2, 0, 1)[None]  # [1, C, H, W]
+    pad = window_size // 2
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y[0].transpose(1, 2, 0)
+
+
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """10*log10(1/mse) (loss_utils.h:33-37)."""
+    mse = jnp.mean((a - b) ** 2)
+    return 10.0 * jnp.log10(1.0 / mse)
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM map, exactly as loss_utils.h:76-124."""
+    mu1 = _filter(img1, window_size)
+    mu2 = _filter(img2, window_size)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _filter(img1 * img1, window_size) - mu1_sq
+    sigma2_sq = _filter(img2 * img2, window_size) - mu2_sq
+    sigma12 = _filter(img1 * img2, window_size) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + _C1) * (2 * sigma12 + _C2)) / (
+        (mu1_sq + mu2_sq + _C1) * (sigma1_sq + sigma2_sq + _C2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def mapper_loss(
+    rendered: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    lambda_dssim: float | jnp.ndarray = 0.2,
+) -> jnp.ndarray:
+    """(1-l)*L1 + l*(1-SSIM), gaussian_mapper.cpp:415-429.
+
+    Undistortion black edges are replaced with white in BOTH images for L1
+    (:415-417), but the SSIM term deliberately compares the masked render
+    against the unmasked gt — a reference quirk kept for parity (:429).
+    """
+    if mask is not None:
+        m = mask[..., None] > 0 if mask.ndim == 2 else mask > 0
+        masked_img = jnp.where(m, rendered, 1.0)
+        masked_gt = jnp.where(m, gt, 1.0)
+    else:
+        masked_img, masked_gt = rendered, gt
+    ll1 = l1_loss(masked_img, masked_gt)
+    return (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(masked_img, gt))

@@ -1,0 +1,217 @@
+"""Per-Gaussian rasterization preprocess: cull, project, 2D covariance.
+
+TPU-native replacement for preprocessCUDA (forward.cu:198-312). On GPU this
+is a one-thread-per-Gaussian kernel; here it is a fully vectorized XLA op
+graph over the capacity-padded Gaussian buffer — every step is elementwise or
+a tiny fixed-size contraction, so XLA fuses it into a handful of VPU loops.
+
+All numeric conventions match the reference bit-for-bit at fp32:
+  * frustum cull at p_view.z <= 0.2          (auxiliary.h:160-194)
+  * p_w = 1 / (p_hom.w + 1e-7)               (forward.cu:250)
+  * EWA cov2D with 1.3*tanfov clamp and +0.3 px low-pass
+                                              (forward.cu:104-149)
+  * radius = ceil(3 * sqrt(lambda_max)), lambda via mid +- sqrt(max(0.1,...))
+                                              (forward.cu:282-291)
+  * tile rect via truncation-and-clamp        (auxiliary.h:38-51)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .sh import eval_sh_color
+from .transforms import CameraMatrices, build_cov3d, ndc_to_pix
+
+TILE = 16  # BLOCK_X == BLOCK_Y == 16 (cuda_rasterizer/config.h:15-16)
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities (capacity-padded [P, ...])."""
+
+    means2d: jnp.ndarray  # [P, 2] pixel coords
+    depths: jnp.ndarray  # [P] camera-space z
+    conics: jnp.ndarray  # [P, 3] inverse 2D covariance (a, b, c)
+    colors: jnp.ndarray  # [P, 3] RGB from SH
+    radii: jnp.ndarray  # [P] int32, 0 => culled
+    rect_min: jnp.ndarray  # [P, 2] int32 tile coords (x, y)
+    rect_max: jnp.ndarray  # [P, 2] int32 tile coords, exclusive
+    tiles_touched: jnp.ndarray  # [P] int32 rect area (0 => skip)
+
+
+def tile_grid(width: int, height: int) -> tuple[int, int]:
+    gw = (width + TILE - 1) // TILE
+    gh = (height + TILE - 1) // TILE
+    return gw, gh
+
+
+def _affine3(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Rows 0..2 of m @ [p, 1], expanded elementwise (full f32 on the VPU)."""
+    return jnp.stack(
+        [
+            m[i, 0] * p[:, 0] + m[i, 1] * p[:, 1] + m[i, 2] * p[:, 2] + m[i, 3]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+
+
+def compute_cov2d(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    cam: CameraMatrices,
+    focal_x: jnp.ndarray,
+    focal_y: jnp.ndarray,
+) -> jnp.ndarray:
+    """EWA projection of the 3D covariance to screen space [P, 3].
+
+    cov2d = J @ R_w2c @ Sigma @ R_w2c^T @ J^T with the frustum-clamped
+    Jacobian of forward.cu:104-149, plus the 0.3-pixel low-pass on the
+    diagonal. Returns packed (cov_xx, cov_xy, cov_yy).
+    """
+    r = cam.view[:3, :3]
+    # Written elementwise, NOT as a matmul: tiny [P,3]x[3,3] dots would hit
+    # the MXU's default (bf16) precision and wreck sub-pixel accuracy.
+    t = _affine3(means3d, cam.view)
+    tz = t[:, 2]
+    limx = 1.3 * cam.tanfovx
+    limy = 1.3 * cam.tanfovy
+    tx = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+
+    # J rows: [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]
+    inv_tz = 1.0 / tz
+    j00 = focal_x * inv_tz
+    j02 = -(focal_x * tx) * inv_tz * inv_tz
+    j11 = focal_y * inv_tz
+    j12 = -(focal_y * ty) * inv_tz * inv_tz
+
+    # V = R @ Sigma @ R^T, but we only need rows 0..2 contracted with J's
+    # sparsity: T = J @ R is [P, 2, 3] with T[0] = j00*R0 + j02*R2, etc.
+    t0 = j00[:, None] * r[0][None, :] + j02[:, None] * r[2][None, :]  # [P,3]
+    t1 = j11[:, None] * r[1][None, :] + j12[:, None] * r[2][None, :]
+
+    c = cov3d  # (xx, xy, xz, yy, yz, zz)
+    sig = jnp.stack(
+        [
+            jnp.stack([c[:, 0], c[:, 1], c[:, 2]], axis=-1),
+            jnp.stack([c[:, 1], c[:, 3], c[:, 4]], axis=-1),
+            jnp.stack([c[:, 2], c[:, 4], c[:, 5]], axis=-1),
+        ],
+        axis=-2,
+    )  # [P, 3, 3]
+    s0 = jnp.einsum("pi,pij->pj", t0, sig, precision="highest")
+    s1 = jnp.einsum("pi,pij->pj", t1, sig, precision="highest")
+    cxx = jnp.einsum("pj,pj->p", s0, t0, precision="highest") + 0.3
+    cxy = jnp.einsum("pj,pj->p", s0, t1, precision="highest")
+    cyy = jnp.einsum("pj,pj->p", s1, t1, precision="highest") + 0.3
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    dc: jnp.ndarray,
+    sh_rest: jnp.ndarray,
+    alive: jnp.ndarray,
+    cam: CameraMatrices,
+    *,
+    width: int,
+    height: int,
+    sh_degree: int,
+    scale_modifier: float = 1.0,
+    means2d_offset: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+) -> Preprocessed:
+    """Vectorized preprocess over the full (padded) Gaussian buffer.
+
+    `alive` is the fixed-capacity liveness mask: dead slots behave exactly
+    like frustum-culled Gaussians (radius 0, 0 tiles).
+
+    `means2d_offset` is an all-zeros [P, 2] array added to the projected
+    pixel-space means; its cotangent is the screen-space positional gradient
+    the densification policy consumes — the JAX analog of the reference's
+    retain_grad screenspace_points tensor (gaussian_renderer.cpp:41-48).
+    """
+    gw, gh = tile_grid(width, height)
+    focal_x = width / (2.0 * cam.tanfovx)
+    focal_y = height / (2.0 * cam.tanfovy)
+
+    # Frustum cull (auxiliary.h:160-194): camera-space z <= 0.2.
+    # All projective dots are expanded elementwise — a [P,3]x[3,4] matmul
+    # would run at default (bf16) MXU precision and cost ~0.05 px of error.
+    v = cam.view
+    p_view_z = v[2, 0] * means3d[:, 0] + v[2, 1] * means3d[:, 1] + v[2, 2] * means3d[:, 2] + v[2, 3]
+    in_front = p_view_z > 0.2
+    valid = jnp.logical_and(alive, in_front)
+
+    # Projection (forward.cu:248-251).
+    fp = cam.full_proj
+    p_hom = jnp.stack(
+        [
+            fp[i, 0] * means3d[:, 0] + fp[i, 1] * means3d[:, 1] + fp[i, 2] * means3d[:, 2] + fp[i, 3]
+            for i in range(4)
+        ],
+        axis=-1,
+    )
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :2] * p_w[:, None]
+
+    if cov3d_precomp is None:
+        cov3d = build_cov3d(scales, quats, scale_modifier)
+    else:
+        cov3d = cov3d_precomp
+    cov2d = compute_cov2d(means3d, cov3d, cam, focal_x, focal_y)
+
+    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] * cov2d[:, 1]
+    valid = jnp.logical_and(valid, det != 0.0)
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack(
+        [cov2d[:, 2] * inv_det, -cov2d[:, 1] * inv_det, cov2d[:, 0] * inv_det],
+        axis=-1,
+    )
+
+    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    means2d = jnp.stack(
+        [ndc_to_pix(p_proj[:, 0], width), ndc_to_pix(p_proj[:, 1], height)],
+        axis=-1,
+    )
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    # Tile rect (auxiliary.h:38-51). The C (int) casts truncate toward zero;
+    # since both bounds are then clamped into [0, grid], astype truncation
+    # followed by clip is exactly equivalent.
+    grid_i = jnp.array([gw, gh], dtype=jnp.int32)
+    rmin = jnp.clip(((means2d - radius_f[:, None]) / TILE).astype(jnp.int32), 0, grid_i)
+    rmax_f = jnp.maximum(0.0, (means2d + radius_f[:, None] + TILE - 1) / TILE)
+    rmax = jnp.minimum(rmax_f.astype(jnp.int32), grid_i)
+
+    area = (rmax[:, 0] - rmin[:, 0]) * (rmax[:, 1] - rmin[:, 1])
+    valid = jnp.logical_and(valid, area > 0)
+
+    if colors_precomp is None:
+        colors = eval_sh_color(dc, sh_rest, means3d, cam.campos, sh_degree)
+    else:
+        colors = colors_precomp
+
+    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
+    return Preprocessed(
+        means2d=means2d,
+        depths=p_view_z,
+        conics=conics,
+        colors=colors,
+        radii=radii,
+        rect_min=rmin,
+        rect_max=rmax,
+        tiles_touched=tiles_touched,
+    )

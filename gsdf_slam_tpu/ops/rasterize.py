@@ -1,0 +1,187 @@
+"""Differentiable Gaussian-splat rasterizer: the full TPU pipeline.
+
+Equivalent surface to the reference's rasterizer stack
+(CudaRasterizer::Rasterizer::forward/backward, rasterizer_impl.cu:366-623,
+wrapped by GaussianRasterizerFunction, src/gaussian_rasterizer.cpp:28-208):
+
+    preprocess (XLA, autodiff)  ->  binning (non-diff sort)  ->
+    blend (custom-VJP scan)     ->  background composite + crop (autodiff)
+
+Only the blend carries a hand-written VJP; everything around it is plain
+traced JAX, so `jax.grad` of any loss of `render(...)` yields the same
+gradient set the reference produces (means3D, scales, rotations, opacity,
+dc, sh_rest, plus the screen-space means2d dummy used for densification).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .binning import bin_gaussians
+from .blend import ALPHA_MAX, ALPHA_MIN, T_EPS, assemble_image, blend_tiles
+from .projection import TILE, preprocess, tile_grid
+from .sh import eval_sh_color
+from .transforms import CameraMatrices
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterization settings (hashable; part of the jit cache key).
+
+    Mirrors GaussianRasterizationSettings (include/gaussian_rasterizer.h) for
+    the static members; per-view tensors travel in CameraMatrices.
+    """
+
+    height: int
+    width: int
+    sh_degree: int = 3
+    max_pairs: int = 1 << 20
+    chunk: int = 256
+    scale_modifier: float = 1.0
+
+    @property
+    def grid(self) -> tuple[int, int]:
+        return tile_grid(self.width, self.height)
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray  # [H, W, 3]
+    final_t: jnp.ndarray  # [H, W] transmittance left after blending
+    radii: jnp.ndarray  # [P] int32 screen radii; 0 = culled (visibility filter)
+    total_pairs: jnp.ndarray  # [] int32, > max_pairs means overflow
+
+
+def render(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    dc: jnp.ndarray,
+    sh_rest: jnp.ndarray,
+    alive: jnp.ndarray,
+    cam: CameraMatrices,
+    bg: jnp.ndarray,
+    cfg: RasterizeConfig,
+    means2d_offset: jnp.ndarray | None = None,
+    colors_precomp: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """Render one view. All per-Gaussian inputs are capacity-padded [P, ...].
+
+    Args mirror GaussianRasterizer::forward (gaussian_rasterizer.h:110-132)
+    with activations already applied (exp/normalize/sigmoid are the model's
+    job, as in gaussian_model.cpp:48-71). `means2d_offset` is the all-zeros
+    screen-space dummy whose cotangent feeds densification stats.
+    """
+    gw, gh = cfg.grid
+    # Accept host numpy inputs at the public boundary: gather-by-tracer on a
+    # raw np.ndarray inside the blend scan would otherwise fail.
+    means3d, scales, quats, opacities, dc, sh_rest, alive, bg = (
+        jnp.asarray(v) for v in (means3d, scales, quats, opacities, dc, sh_rest, alive, bg)
+    )
+    pre = preprocess(
+        means3d,
+        scales,
+        quats,
+        opacities,
+        dc,
+        sh_rest,
+        alive,
+        cam,
+        width=cfg.width,
+        height=cfg.height,
+        sh_degree=cfg.sh_degree,
+        scale_modifier=cfg.scale_modifier,
+        means2d_offset=means2d_offset,
+        colors_precomp=colors_precomp,
+    )
+    binned = bin_gaussians(
+        jax.lax.stop_gradient(pre), jax.lax.stop_gradient(opacities),
+        grid_w=gw, grid_h=gh, max_pairs=cfg.max_pairs,
+    )
+    accum, log_t_eff = blend_tiles(
+        binned.pair_tile,
+        binned.pair_gauss,
+        pre.means2d,
+        pre.conics,
+        opacities,
+        pre.colors,
+        grid_w=gw,
+        grid_h=gh,
+        chunk=cfg.chunk,
+    )
+    image, final_t = assemble_image(
+        accum, log_t_eff, bg, grid_w=gw, grid_h=gh, width=cfg.width, height=cfg.height
+    )
+    return RenderOutput(
+        image=image, final_t=final_t, radii=pre.radii, total_pairs=binned.total_pairs
+    )
+
+
+def render_dense_reference(
+    means3d,
+    scales,
+    quats,
+    opacities,
+    dc,
+    sh_rest,
+    alive,
+    cam: CameraMatrices,
+    bg,
+    cfg: RasterizeConfig,
+):
+    """O(P * pixels) golden renderer for tests (no binning, no Pallas).
+
+    Implements the identical math as the tiled path — including the tile-rect
+    footprint, the alpha skip rules, and early-termination parity — by brute
+    force over every (gaussian, pixel). Differentiable end-to-end via plain
+    autodiff (note: its gradient *does* gate the 0.99 clamp, unlike the
+    production VJP which follows backward.cu:621; keep test opacities small).
+    """
+    pre = preprocess(
+        means3d, scales, quats, opacities, dc, sh_rest, alive, cam,
+        width=cfg.width, height=cfg.height, sh_degree=cfg.sh_degree,
+        scale_modifier=cfg.scale_modifier,
+    )
+    h, w = cfg.height, cfg.width
+    ys, xs = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    pix = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(jnp.float32)
+    tile_xy = (pix // TILE).astype(jnp.int32)  # [HW, 2]
+
+    order = jnp.argsort(jnp.where(pre.tiles_touched > 0, pre.depths, jnp.inf))
+    xy = pre.means2d[order]
+    con = pre.conics[order]
+    op = opacities[order]
+    col = pre.colors[order]
+    rmin = pre.rect_min[order]
+    rmax = pre.rect_max[order]
+    vis = (pre.tiles_touched > 0)[order]
+
+    d = xy[:, None, :] - pix[None, :, :]  # [P, HW, 2]
+    power = (
+        -0.5 * (con[:, 0:1] * d[..., 0] ** 2 + con[:, 2:3] * d[..., 1] ** 2)
+        - con[:, 1:2] * d[..., 0] * d[..., 1]
+    )
+    in_rect = (
+        (tile_xy[None, :, 0] >= rmin[:, None, 0])
+        & (tile_xy[None, :, 0] < rmax[:, None, 0])
+        & (tile_xy[None, :, 1] >= rmin[:, None, 1])
+        & (tile_xy[None, :, 1] < rmax[:, None, 1])
+    )
+    alpha = jnp.minimum(ALPHA_MAX, op[:, None] * jnp.exp(power))
+    live = vis[:, None] & in_rect & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(live, alpha, 0.0)
+
+    log1m = jnp.log1p(-alpha)
+    incl = jnp.cumsum(log1m, axis=0)
+    t_incl = jnp.exp(incl)
+    t_excl = jnp.exp(incl - log1m)
+    applied = t_incl >= T_EPS
+    wgt = alpha * t_excl * applied
+    color = jnp.einsum("pq,pc->qc", wgt, col, precision="highest")
+    final_t = jnp.exp(jnp.sum(jnp.where(applied, log1m, 0.0), axis=0))
+    out = color + final_t[:, None] * bg[None, :]
+    return out.reshape(h, w, 3), final_t.reshape(h, w)

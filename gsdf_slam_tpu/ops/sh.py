@@ -1,0 +1,120 @@
+"""Spherical-harmonics color evaluation.
+
+TPU-native equivalent of the reference's SH pipeline:
+  - constants and per-degree polynomial basis as in
+    /root/reference/cuda_rasterizer/auxiliary.h:23-31 and
+    /root/reference/include/sh_utils.h:33-61
+  - forward color conversion as in
+    /root/reference/cuda_rasterizer/forward.cu:32-101 (computeColorFromSH):
+    separate DC term (SH_C0 * dc) plus degree-1..3 terms from the "rest"
+    coefficients, +0.5 offset, clamp at 0.
+
+The whole evaluation is a batched polynomial-basis contraction: we build the
+basis matrix [N, 16] and contract against coefficients [N, 16, 3] — one fused
+XLA op, MXU-friendly when N is large.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+MAX_SH_DEGREE = 3
+NUM_SH_COEFFS = (MAX_SH_DEGREE + 1) ** 2  # 16
+
+
+def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB2SH = (rgb - 0.5) / C0 (reference include/sh_utils.h:138)."""
+    return (rgb - 0.5) / SH_C0
+
+
+def sh_to_rgb(sh: jnp.ndarray) -> jnp.ndarray:
+    """SH2RGB = sh * C0 + 0.5 (reference include/sh_utils.h:143)."""
+    return sh * SH_C0 + 0.5
+
+
+def sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """Real SH basis values for unit directions.
+
+    Args:
+      dirs: [..., 3] unit view directions (gaussian_center - cam_pos, normed).
+      degree: active SH degree in [0, 3] (static).
+
+    Returns:
+      [..., (degree+1)**2] basis, ordered to match the reference layout where
+      coefficient 0 is the DC term and 1.. follow forward.cu:64-85.
+    """
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    one = jnp.ones_like(x)
+    terms = [SH_C0 * one]
+    if degree > 0:
+        terms += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+    if degree > 1:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        terms += [
+            SH_C2[0] * xy,
+            SH_C2[1] * yz,
+            SH_C2[2] * (2.0 * zz - xx - yy),
+            SH_C2[3] * xz,
+            SH_C2[4] * (xx - yy),
+        ]
+    if degree > 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        terms += [
+            SH_C3[0] * y * (3.0 * xx - yy),
+            SH_C3[1] * xy * z,
+            SH_C3[2] * y * (4.0 * zz - xx - yy),
+            SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SH_C3[4] * x * (4.0 * zz - xx - yy),
+            SH_C3[5] * z * (xx - yy),
+            SH_C3[6] * x * (xx - 3.0 * yy),
+        ]
+    return jnp.stack(terms, axis=-1)
+
+
+def eval_sh_color(
+    dc: jnp.ndarray,
+    sh_rest: jnp.ndarray,
+    means: jnp.ndarray,
+    campos: jnp.ndarray,
+    degree: int,
+) -> jnp.ndarray:
+    """SH -> clamped RGB, matching forward.cu:32-101 exactly.
+
+    Args:
+      dc: [N, 1, 3] DC coefficients (the reference's separate_sh dc input).
+      sh_rest: [N, 15, 3] higher-order coefficients ("rest").
+      means: [N, 3] gaussian centers (world).
+      campos: [3] camera center (world).
+      degree: active SH degree (static int).
+
+    Returns:
+      [N, 3] RGB in [0, inf) clamped at 0 after the +0.5 offset.
+    """
+    d = means - campos[None, :]
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    basis = sh_basis(d, degree)  # [N, K]
+    coeffs = jnp.concatenate([dc, sh_rest], axis=1)  # [N, 16, 3]
+    k = basis.shape[-1]
+    rgb = jnp.einsum("nk,nkc->nc", basis, coeffs[:, :k, :], precision="highest") + 0.5
+    return jnp.maximum(rgb, 0.0)
