@@ -1,0 +1,112 @@
+"""The jitted training step: render -> loss -> backward -> Adam (+stats).
+
+The TPU analog of GaussianMapper::trainForOneIteration
+(gaussian_mapper.cpp:335-468) minus host-side policy: keyframe sampling,
+densify scheduling and opacity-reset cadence stay in the mapper (engine/
+mapper.py) exactly like the reference keeps them outside the CUDA kernels.
+Everything inside `train_step` — including the densification-stat
+accumulation that the reference does under NoGrad — is one compiled XLA
+program; parameters never leave HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import OptimizationParams
+from ..models.gaussian_model import GaussianState, add_densification_stats
+from ..models.optimizer import AdamState, adam_step, group_lrs
+from ..ops.losses import mapper_loss, psnr
+from ..ops.rasterize import RasterizeConfig, RenderOutput, render
+from ..ops.transforms import CameraMatrices
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    psnr: jnp.ndarray
+    count: jnp.ndarray
+    total_pairs: jnp.ndarray
+
+
+def render_state(
+    state: GaussianState,
+    cam: CameraMatrices,
+    bg: jnp.ndarray,
+    cfg: RasterizeConfig,
+    means2d_offset: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """GaussianRenderer::render (gaussian_renderer.cpp:23-141): activations +
+    rasterizer call. separate_sh dc/rest path is the only one implemented —
+    it is what the reference runs (separate_sh defaults true)."""
+    return render(
+        state.xyz,
+        state.scaling_act(),
+        state.rotation_act(),
+        state.opacity_act()[:, 0],
+        state.f_dc,
+        state.f_rest,
+        state.alive,
+        cam,
+        bg,
+        cfg,
+        means2d_offset=means2d_offset,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "opt", "accumulate_stats")
+)
+def train_step(
+    state: GaussianState,
+    adam: AdamState,
+    cam: CameraMatrices,
+    gt_image: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    bg: jnp.ndarray,
+    iteration: jnp.ndarray,
+    spatial_lr_scale: jnp.ndarray,
+    cfg: RasterizeConfig,
+    opt: OptimizationParams,
+    accumulate_stats: bool = True,
+    lr_overrides: dict[str, Any] | None = None,
+) -> tuple[GaussianState, AdamState, StepMetrics]:
+    """One optimization iteration (trainForOneIteration :335-468).
+
+    `iteration` and `spatial_lr_scale` are traced so the lr schedule doesn't
+    recompile per step; densify/opacity-reset cadence is host-side.
+    """
+
+    def loss_fn(params, m2d_offset):
+        st = state.with_params(params)
+        out = render_state(st, cam, bg, cfg, means2d_offset=m2d_offset)
+        loss = mapper_loss(out.image, gt_image, mask, opt.lambda_dssim)
+        return loss, out
+
+    m2d0 = jnp.zeros((state.capacity, 2), jnp.float32)
+    (loss, out), (g_params, g_m2d) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.params(), m2d0)
+
+    if accumulate_stats:
+        state = add_densification_stats(
+            state, g_m2d, out.radii, cfg.width, cfg.height
+        )
+
+    lrs = group_lrs(opt, 1.0, iteration)
+    lrs["xyz"] = lrs["xyz"] * spatial_lr_scale
+    if lr_overrides:
+        lrs.update({k: jnp.asarray(v, jnp.float32) for k, v in lr_overrides.items()})
+    new_params, adam = adam_step(state.params(), g_params, adam, lrs)
+    state = state.with_params(new_params)
+
+    metrics = StepMetrics(
+        loss=loss,
+        psnr=psnr(out.image, gt_image),
+        count=state.count,
+        total_pairs=out.total_pairs,
+    )
+    return state, adam, metrics
