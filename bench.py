@@ -1,0 +1,107 @@
+"""Benchmark: render+backward training iterations/sec on one chip.
+
+Measures the full jitted train step (render forward -> L1+SSIM loss ->
+custom-VJP backward -> 6-group Adam -> densification stats) at Replica room0
+resolution (1200x680, SURVEY.md §6) on a synthetic room-scale scene.
+
+Prints ONE JSON line. `vs_baseline` divides by an assumed 30 it/s for the
+CUDA reference on A100 at this workload (the reference publishes no numbers
+— README.md:1 is a joke line; 30 it/s ≈ 33 ms/iter is the Photo-SLAM-class
+figure from its paper's RTX/A6000 numbers scaled to A100). The north-star
+target is vs_baseline >= 2.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_REFERENCE_ITERS_PER_SEC = 30.0
+
+HEIGHT, WIDTH = 680, 1200
+N_GAUSSIANS = 200_000
+CAPACITY = 1 << 18
+MAX_PAIRS = 1 << 19
+CHUNK = 1024
+WARMUP = 3
+ITERS = 20
+
+
+def build_scene(seed=0):
+    import jax.numpy as jnp
+
+    from gsdf_slam_tpu.models import AdamState, create_from_pcd
+
+    rng = np.random.default_rng(seed)
+    # room-scale shell: points on walls/floor of a ~8m box viewed from center
+    pts = rng.uniform(-4, 4, (N_GAUSSIANS, 3)).astype(np.float32)
+    # push onto the box surface to mimic a room scan
+    ax = rng.integers(0, 3, N_GAUSSIANS)
+    sign = rng.choice([-4.0, 4.0], N_GAUSSIANS)
+    pts[np.arange(N_GAUSSIANS), ax] = sign
+    cols = rng.uniform(0, 1, (N_GAUSSIANS, 3)).astype(np.float32)
+    state = create_from_pcd(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.ones(N_GAUSSIANS, bool), CAPACITY
+    )
+    adam = AdamState.init(state.params())
+    return state, adam
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gsdf_slam_tpu.config import OptimizationParams
+    from gsdf_slam_tpu.engine import train_step
+    from gsdf_slam_tpu.ops import CameraMatrices, RasterizeConfig
+
+    state, adam = build_scene()
+    fovx = 2 * np.arctan(WIDTH / (2 * 600.0))
+    fovy = 2 * np.arctan(HEIGHT / (2 * 600.0))
+    cam = CameraMatrices.from_pose(np.array([1.0, 0, 0, 0]), np.zeros(3), fovx, fovy)
+    cfg = RasterizeConfig(height=HEIGHT, width=WIDTH, max_pairs=MAX_PAIRS, chunk=CHUNK)
+    opt = OptimizationParams()
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
+    bg = jnp.zeros(3)
+
+    def one(it):
+        return train_step(
+            state, adam, cam, gt, None, bg, jnp.int32(it), jnp.float32(1.0), cfg, opt
+        )
+
+    # warmup/compile
+    for i in range(WARMUP):
+        s, a, m = one(i + 1)
+    jax.block_until_ready((s.xyz, a.m["xyz"]))
+    pairs = int(m.total_pairs)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        s, a, m = one(i + 10)
+    jax.block_until_ready((s.xyz, a.m["xyz"]))
+    dt = time.perf_counter() - t0
+    ips = ITERS / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "render_backward_iters_per_sec",
+                "value": round(ips, 3),
+                "unit": "it/s",
+                "vs_baseline": round(ips / A100_REFERENCE_ITERS_PER_SEC, 3),
+                "detail": {
+                    "resolution": f"{WIDTH}x{HEIGHT}",
+                    "gaussians": N_GAUSSIANS,
+                    "pairs": pairs,
+                    "platform": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,412 @@
+"""GaussianMapper: the streaming training orchestrator.
+
+Host-side re-design of GaussianMapper (include/gaussian_mapper.h:102-177,
+src/gaussian_mapper.cpp). The division of labor is the TPU-native one: all
+per-iteration math lives in jitted XLA programs (engine/train.py,
+models/gaussian_model.py); the mapper owns policy and IO —
+
+  * the streaming `run()` loop (gaussian_mapper.cpp:160-333): per frame,
+    ingest the colorized cloud (create/increase), register a keyframe whose
+    pose is the inverse of the loader's camera pose, then train once;
+  * shuffled times-of-use keyframe sampling (:503-606);
+  * Gaussian-pyramid level scheduling (:351-369) — each level gets its own
+    compiled train step (static shapes per resolution);
+  * densify / opacity-reset cadence (:449-461) with host-side capacity
+    growth (the XLA replacement for CUDA tensor reallocation);
+  * sky masking: a precomputed mask image or an optional ONNX skyseg
+    session (:221-272) — gated, since onnxruntime is optional;
+  * results: 3DGS-format PLY + cameras.json + cfg_args (:659-775).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import OptimizationParams
+from ..data.loader import DataLoader, FrameData
+from ..io.ply import (
+    gaussians_to_ply_dict,
+    ply_dict_to_gaussians,
+    read_ply,
+    write_ply,
+)
+from ..models.gaussian_model import (
+    GaussianState,
+    create_from_pcd,
+    densify_and_prune,
+    increase_pcd,
+    reset_opacity,
+    with_capacity,
+)
+from ..models.optimizer import AdamState
+from ..ops.rasterize import RasterizeConfig
+from ..ops.transforms import CameraMatrices
+from .keyframe import Camera, Keyframe, rot_to_quat_wxyz
+from .scene import Scene
+from .settings import MapperSettings
+from .train import render_state, train_step
+
+
+class GaussianMapper:
+    def __init__(
+        self,
+        settings: MapperSettings | None = None,
+        dataloader: DataLoader | None = None,
+        result_dir: str | Path | None = None,
+        capacity: int = 1 << 18,
+        max_pairs: int = 1 << 20,
+        ingest_capacity: int = 1 << 16,
+        seed: int = 0,
+        sky_mask: np.ndarray | None = None,
+    ):
+        self.settings = settings or MapperSettings()
+        self.dataloader = dataloader
+        self.result_dir = Path(result_dir) if result_dir else None
+        self.capacity = capacity
+        self.max_pairs = max_pairs
+        self.ingest_capacity = ingest_capacity
+        self.sky_mask = sky_mask  # [H, W] bool, True = sky (blacked out)
+
+        self.scene = Scene()
+        self.state: GaussianState | None = None
+        self.adam: AdamState | None = None
+        self.iteration = 0
+        self.initial_mapped = False
+        self.ema_loss = 0.0
+        self.spatial_lr_scale = 1.0
+        self._rng = random.Random(seed)
+        self._key = jax.random.PRNGKey(seed)
+        self._kfid_shuffle: list[int] = []
+        self._kfid_shuffle_idx = 0
+        self.kfs_used_times: dict[int, int] = {}
+        self._gt_cache: dict[tuple[int, int], jnp.ndarray] = {}
+        self._stopped = False
+
+    # ------------------------------------------------------------------ run
+    def run(self) -> None:
+        """Streaming mapping over the whole dataset (run(), :160-333)."""
+        assert self.dataloader is not None, "run() needs a dataloader"
+        n = len(self.dataloader)
+        for i in range(n):
+            if self._stopped:
+                break
+            frame = self.dataloader.get_item(i)
+            self.ingest_frame(i, frame)
+            self.train_for_one_iteration()
+
+    def signal_stop(self) -> None:
+        self._stopped = True
+
+    # --------------------------------------------------------------- ingest
+    def ingest_frame(self, fid: int, frame: FrameData) -> Keyframe:
+        """Register camera+keyframe and grow the model from the new cloud."""
+        intr = self.dataloader.frames.intrinsics if self.dataloader else None
+        h, w = frame.image.shape[:2]
+        if intr is not None:
+            cam = Camera(fid, intr.fx, intr.fy, intr.cx, intr.cy, w, h)
+        else:
+            cam = Camera(fid, w / 2.0, w / 2.0, w / 2.0, h / 2.0, w, h)
+        self.scene.add_camera(cam)
+
+        image = frame.image
+        mask = None
+        if self.sky_mask is not None:
+            sky = self.sky_mask
+            if sky.shape[:2] != image.shape[:2]:
+                import cv2
+
+                sky = cv2.resize(
+                    sky.astype(np.uint8), (image.shape[1], image.shape[0]),
+                    interpolation=cv2.INTER_NEAREST,
+                ).astype(bool)
+            image = np.where(sky[..., None], 0.0, image).astype(np.float32)
+            # KITTI-mode quirk (gaussian_mapper.cpp:273-275): the training
+            # mask is the masked image itself, tested as mask > 0.
+            mask = (~sky).astype(np.float32)
+
+        t_cw = np.linalg.inv(frame.cam_pose.astype(np.float64)).astype(np.float32)
+        kf = Keyframe(
+            fid=fid,
+            camera=cam,
+            t_cw=t_cw,
+            image=image,
+            mask=mask,
+            created_at_iter=self.iteration,
+            remaining_times_of_use=self.settings.new_keyframe_times_of_use,
+        )
+        if self.settings.do_gaus_pyramid_training:
+            import cv2
+
+            nl = self.settings.num_gaus_pyramid_sub_levels
+            kf.pyramid_times_of_use = [
+                self.settings.gaus_pyramid_sub_level_times_of_use
+            ] * nl
+            for lvl in range(nl):
+                f = 0.5 ** (nl - lvl)
+                kf.pyramid_images.append(
+                    cv2.resize(image, (int(w * f), int(h * f))).astype(np.float32)
+                )
+        self.scene.add_keyframe(kf)
+        self._kfid_shuffle = []  # re-shuffle on next sample
+
+        pts, cols, valid = self._pad_cloud(frame.points, frame.colors)
+        if not self.initial_mapped:
+            _, self.scene.cameras_extent = self.scene.nerfpp_norm()
+            self.spatial_lr_scale = max(self.scene.cameras_extent, 1e-6)
+            self.state = create_from_pcd(pts, cols, valid, self.capacity)
+            self.adam = AdamState.init(self.state.params())
+            self.initial_mapped = True
+        else:
+            self._ensure_capacity(int(np.sum(np.asarray(valid))))
+            self.state, self.adam, aux = increase_pcd(
+                self.state, self.adam, pts, cols, valid, jnp.int32(self.iteration)
+            )
+        return kf
+
+    def _pad_cloud(self, points: np.ndarray, colors: np.ndarray):
+        cap = self.ingest_capacity
+        m = min(len(points), cap)
+        p = np.zeros((cap, 3), np.float32)
+        c = np.zeros((cap, 3), np.float32)
+        v = np.zeros((cap,), bool)
+        p[:m], c[:m], v[:m] = points[:m], colors[:m], True
+        return jnp.asarray(p), jnp.asarray(c), jnp.asarray(v)
+
+    def _ensure_capacity(self, incoming: int) -> None:
+        count = int(self.state.count)
+        while count + incoming > self.state.capacity:
+            new_cap = self.state.capacity * 2
+            self.state, self.adam = with_capacity(self.state, self.adam, new_cap)
+            self.capacity = new_cap
+
+    # ------------------------------------------------------------- sampling
+    def _use_one_random_sliding_window_keyframe(self) -> Keyframe | None:
+        """useOneRandomSlidingWindowKeyframe (:526-575)."""
+        kfs = self.scene.keyframes
+        if not kfs:
+            return None
+        ids = sorted(kfs)
+        if not self._kfid_shuffle:
+            self._kfid_shuffle = list(range(len(ids)))
+            self._rng.shuffle(self._kfid_shuffle)
+            self._kfid_shuffle_idx = 0
+        start = self._kfid_shuffle_idx
+        while True:
+            self._kfid_shuffle_idx = (self._kfid_shuffle_idx + 1) % len(
+                self._kfid_shuffle
+            )
+            if self._kfid_shuffle_idx == start:
+                for kf in kfs.values():
+                    kf.remaining_times_of_use += 1
+            kf = kfs[ids[self._kfid_shuffle[self._kfid_shuffle_idx]]]
+            if kf.remaining_times_of_use > 0:
+                break
+        self.kfs_used_times[kf.fid] = self.kfs_used_times.get(kf.fid, 0) + 1
+        kf.remaining_times_of_use -= 1
+        return kf
+
+    # ------------------------------------------------------------- training
+    def _raster_cfg(self, h: int, w: int) -> RasterizeConfig:
+        return RasterizeConfig(
+            height=h, width=w, sh_degree=self.settings.model.sh_degree,
+            max_pairs=self.max_pairs,
+        )
+
+    def _gt_device(self, kf: Keyframe, level: int, n_levels: int) -> jnp.ndarray:
+        key = (kf.fid, level)
+        if key not in self._gt_cache:
+            img = kf.image if level >= n_levels else kf.pyramid_images[level]
+            self._gt_cache[key] = jnp.asarray(img)
+            if len(self._gt_cache) > 64:
+                self._gt_cache.pop(next(iter(self._gt_cache)))
+        return self._gt_cache[key]
+
+    def train_for_one_iteration(self) -> dict | None:
+        """trainForOneIteration (:335-468), with densify cadence host-side."""
+        if not self.initial_mapped:
+            return None
+        kf = self._use_one_random_sliding_window_keyframe()
+        if kf is None:
+            return None
+        self.iteration += 1
+        s = self.settings
+
+        n_levels = s.num_gaus_pyramid_sub_levels
+        level = n_levels
+        if s.do_gaus_pyramid_training:
+            level = kf.current_pyramid_level()
+        if level >= n_levels or not kf.pyramid_images:
+            h, w = kf.image.shape[:2]
+        else:
+            h, w = kf.pyramid_images[level].shape[:2]
+        cfg = self._raster_cfg(h, w)
+        gt = self._gt_device(kf, level, n_levels)
+        mask = None
+        if kf.mask is not None and level >= n_levels:
+            mask = jnp.asarray(kf.mask)
+
+        bg = jnp.ones(3) if s.model.white_background else jnp.zeros(3)
+        accumulate = self.iteration < s.opt.densify_until_iter
+        self.state, self.adam, metrics = train_step(
+            self.state,
+            self.adam,
+            kf.camera_matrices(s.z_near, s.z_far),
+            gt,
+            mask,
+            bg,
+            jnp.int32(self.iteration),
+            jnp.float32(self.spatial_lr_scale),
+            cfg,
+            s.opt,
+            accumulate_stats=accumulate,
+        )
+
+        if self.iteration < s.opt.densify_until_iter:
+            if (
+                self.iteration > s.opt.densify_from_iter
+                and s.opt.densification_interval
+                and self.iteration % s.opt.densification_interval == 0
+            ):
+                size_threshold = (
+                    20 if self.iteration > s.prune_big_point_after_iter else 0
+                )
+                self._ensure_capacity(int(self.state.count) // 2)
+                self._key, sub = jax.random.split(self._key)
+                self.state, self.adam, _ = densify_and_prune(
+                    self.state,
+                    self.adam,
+                    sub,
+                    max_grad=s.opt.densify_grad_threshold,
+                    min_opacity=s.densify_min_opacity,
+                    extent=self.scene.cameras_extent,
+                    max_screen_size=size_threshold,
+                    percent_dense=s.opt.percent_dense,
+                )
+            if (
+                s.opt.opacity_reset_interval
+                and self.iteration % s.opt.opacity_reset_interval == 0
+            ):
+                self.state, self.adam = reset_opacity(self.state, self.adam)
+
+        loss = float(metrics.loss)
+        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+        if s.training_report_interval and (
+            self.iteration % s.training_report_interval == 0
+        ):
+            print(
+                f"[mapper] iter {self.iteration}: ema_loss {self.ema_loss:.5f} "
+                f"points {int(metrics.count)} pairs {int(metrics.total_pairs)}"
+            )
+        return {
+            "loss": loss,
+            "psnr": float(metrics.psnr),
+            "count": int(metrics.count),
+            "total_pairs": int(metrics.total_pairs),
+        }
+
+    # ------------------------------------------------------------ rendering
+    def render_from_pose(
+        self, t_cw: np.ndarray, width: int, height: int, fovx=None, fovy=None
+    ) -> np.ndarray:
+        """renderFromPose (:608-657) for viewers/eval."""
+        cam0 = next(iter(self.scene.cameras.values()), None)
+        if fovx is None:
+            fovx = cam0.fovx if cam0 else math.pi / 2
+        if fovy is None:
+            fovy = cam0.fovy if cam0 else math.pi / 2
+        q = rot_to_quat_wxyz(t_cw[:3, :3])
+        cm = CameraMatrices.from_pose(
+            q, t_cw[:3, 3], fovx, fovy, self.settings.z_near, self.settings.z_far
+        )
+        bg = jnp.ones(3) if self.settings.model.white_background else jnp.zeros(3)
+        out = render_state(self.state, cm, bg, self._raster_cfg(height, width))
+        return np.asarray(out.image)
+
+    # -------------------------------------------------------------- results
+    def save_ply(self, out_dir: str | Path | None = None) -> Path:
+        """savePly (:659-755): point_cloud/iteration_N/point_cloud.ply +
+        cameras.json + cfg_args, 3DGS-viewer compatible."""
+        base = Path(out_dir or self.result_dir)
+        it_dir = base / "point_cloud" / f"iteration_{self.iteration}"
+        n = int(self.state.count)
+        props = gaussians_to_ply_dict(
+            np.asarray(self.state.xyz[:n]),
+            np.asarray(self.state.f_dc[:n]),
+            np.asarray(self.state.f_rest[:n]),
+            np.asarray(self.state.opacity[:n]),
+            np.asarray(self.state.scaling[:n]),
+            np.asarray(self.state.rotation[:n]),
+        )
+        write_ply(it_dir / "point_cloud.ply", props)
+
+        cams = []
+        for kf in self.scene.keyframes.values():
+            c2w = np.linalg.inv(kf.t_cw.astype(np.float64))
+            cams.append(
+                {
+                    "id": kf.fid,
+                    "img_name": str(kf.fid),
+                    "width": kf.camera.width,
+                    "height": kf.camera.height,
+                    "position": c2w[:3, 3].tolist(),
+                    "rotation": c2w[:3, :3].tolist(),
+                    "fx": kf.camera.fx,
+                    "fy": kf.camera.fy,
+                }
+            )
+        base.mkdir(parents=True, exist_ok=True)
+        (base / "cameras.json").write_text(json.dumps(cams))
+        (base / "cfg_args").write_text(
+            "Namespace(eval=False, images='images', model_path='{}', "
+            "resolution=-1, sh_degree={}, source_path='', white_background={})".format(
+                base, self.settings.model.sh_degree,
+                self.settings.model.white_background,
+            )
+        )
+        self._write_keyframe_used_times(base)
+        return it_dir / "point_cloud.ply"
+
+    def _write_keyframe_used_times(self, base: Path) -> None:
+        """keyframe_used_times log (:757-775)."""
+        lines = [f"{fid} {times}" for fid, times in sorted(self.kfs_used_times.items())]
+        (base / f"keyframe_used_times_{self.iteration}.txt").write_text(
+            "\n".join(lines) + "\n"
+        )
+
+    def load_ply(self, ply_path: str | Path) -> None:
+        """loadPly (:984-1059): view-only restore (no optimizer state, like
+        the reference)."""
+        xyz, dc, rest, opacity, scaling, rotation = ply_dict_to_gaussians(
+            read_ply(ply_path)
+        )
+        n = len(xyz)
+        cap = max(self.capacity, 1 << (n - 1).bit_length())
+
+        def pad(a):
+            return jnp.zeros((cap,) + a.shape[1:], jnp.float32).at[:n].set(a)
+
+        self.state = GaussianState(
+            xyz=pad(xyz),
+            f_dc=pad(dc),
+            f_rest=pad(rest),
+            opacity=pad(opacity),
+            scaling=pad(scaling),
+            rotation=pad(rotation).at[:, 0].set(
+                jnp.concatenate([jnp.asarray(rotation[:, 0]), jnp.ones(cap - n)])
+            ),
+            count=jnp.int32(n),
+            exist_since_iter=jnp.zeros((cap,), jnp.int32),
+            max_radii2d=jnp.zeros((cap,), jnp.float32),
+            xyz_grad_accum=jnp.zeros((cap,), jnp.float32),
+            denom=jnp.zeros((cap,), jnp.float32),
+        )
+        self.adam = AdamState.init(self.state.params())
+        self.capacity = cap
+        self.initial_mapped = True

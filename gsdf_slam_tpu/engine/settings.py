@@ -1,0 +1,113 @@
+"""Mapper settings: the cv::FileStorage-style YAML of the reference.
+
+readConfigFromFile (gaussian_mapper.cpp:69-146) reads flat dotted keys from
+OpenCV YAML. Those files start with the OpenCV-only `%YAML:1.0` directive,
+so we parse the flat `Key.name: value` lines directly instead of using a
+YAML library.
+
+Parity quirk kept: the reference looks up "Optimization.densify_from_iter_"
+(trailing underscore) while every config writes "densify_from_iter" — so it
+always reads 0. We replicate that (and also honor the correctly-spelled key
+when the typo'd one is absent, which matches the observed behavior since
+cv::FileStorage returns 0 for missing keys).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+from ..config import ModelParams, OptimizationParams, PipelineParams
+
+
+def parse_opencv_yaml(path: str | Path) -> dict[str, float | int | str]:
+    out: dict[str, float | int | str] = {}
+    for raw in Path(path).read_text().splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or line.startswith("%") or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip(), val.strip()
+        if not val:
+            continue
+        try:
+            out[key] = int(val)
+        except ValueError:
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val.strip('"')
+    return out
+
+
+@dataclasses.dataclass
+class MapperSettings:
+    model: ModelParams = ModelParams()
+    pipe: PipelineParams = PipelineParams()
+    opt: OptimizationParams = OptimizationParams()
+    z_near: float = 0.01
+    z_far: float = 100.0
+    new_keyframe_times_of_use: int = 1
+    do_gaus_pyramid_training: bool = False
+    num_gaus_pyramid_sub_levels: int = 0
+    gaus_pyramid_sub_level_times_of_use: int = 0
+    keyframe_record_interval: int = 0
+    training_report_interval: int = 0
+    prune_big_point_after_iter: int = 30_000
+    densify_min_opacity: float = 0.005
+    viewer_image_scale: float = 1.0
+    skyseg_onnx_path: str = ""  # optional; reference hardcodes skyseg.onnx
+
+    @staticmethod
+    def from_yaml(path: str | Path) -> "MapperSettings":
+        kv = parse_opencv_yaml(path)
+
+        def g(key, default):
+            return kv.get(key, default)
+
+        model = ModelParams(
+            sh_degree=int(g("Model.sh_degree", 3)),
+            resolution=float(g("Model.resolution", -1.0)),
+            white_background=bool(g("Model.white_background", 0)),
+        )
+        pipe = PipelineParams(
+            convert_SHs=bool(g("Pipeline.convert_SHs", 0)),
+            compute_cov3D=bool(g("Pipeline.compute_cov3D", 0)),
+        )
+        densify_from = int(
+            g("Optimization.densify_from_iter_", g("Optimization.densify_from_iter", 0))
+        )
+        opt = OptimizationParams(
+            iterations=int(g("Optimization.max_num_iterations", 30_000)),
+            position_lr_init=float(g("Optimization.position_lr_init", 0.00016)),
+            position_lr_final=float(g("Optimization.position_lr_final", 0.0000016)),
+            position_lr_delay_mult=float(g("Optimization.position_lr_delay_mult", 0.01)),
+            position_lr_max_steps=int(g("Optimization.position_lr_max_steps", 30_000)),
+            feature_lr=float(g("Optimization.feature_lr", 0.0025)),
+            opacity_lr=float(g("Optimization.opacity_lr", 0.05)),
+            scaling_lr=float(g("Optimization.scaling_lr", 0.005)),
+            rotation_lr=float(g("Optimization.rotation_lr", 0.001)),
+            percent_dense=float(g("Optimization.percent_dense", 0.01)),
+            lambda_dssim=float(g("Optimization.lambda_dssim", 0.2)),
+            densification_interval=int(g("Optimization.densification_interval", 100)),
+            opacity_reset_interval=int(g("Optimization.opacity_reset_interval", 3000)),
+            densify_from_iter=densify_from,
+            densify_until_iter=int(g("Optimization.densify_until_iter", 15_000)),
+            densify_grad_threshold=float(g("Optimization.densify_grad_threshold", 0.0002)),
+        )
+        return MapperSettings(
+            model=model,
+            pipe=pipe,
+            opt=opt,
+            z_near=float(g("Camera.z_near", 0.01)),
+            z_far=float(g("Camera.z_far", 100.0)),
+            new_keyframe_times_of_use=int(g("Mapper.new_keyframe_times_of_use", 1)),
+            do_gaus_pyramid_training=bool(g("GausPyramid.do", 0)),
+            num_gaus_pyramid_sub_levels=int(g("GausPyramid.num_sub_levels", 0)),
+            gaus_pyramid_sub_level_times_of_use=int(g("GausPyramid.sub_level_times_of_use", 0)),
+            keyframe_record_interval=int(g("Record.keyframe_record_interval", 0)),
+            training_report_interval=int(g("Record.training_report_interval", 0)),
+            prune_big_point_after_iter=int(g("Optimization.prune_big_point_after_iter", 30_000)),
+            densify_min_opacity=float(g("Optimization.densify_min_opacity", 0.005)),
+            viewer_image_scale=float(g("GaussianViewer.image_scale", 1.0)),
+        )

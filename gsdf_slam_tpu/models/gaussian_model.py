@@ -153,16 +153,20 @@ def create_from_pcd(
 
     The reference computes voxel-dedup keep_indices but discards them
     (:146-147) — kept faithfully: every valid input point becomes a Gaussian.
-    `points`/`colors` are [M, ...] with a validity mask (M <= capacity).
+    `points`/`colors` are [M, ...] with a validity mask; if more than
+    `capacity` points are valid, the excess is dropped (fixed-capacity
+    semantics — the host grows capacity and re-ingests if that matters).
     """
     m = points.shape[0]
-    assert m <= capacity, "initial cloud larger than model capacity"
     # Compact valid points to a prefix (host-free, in-jit).
     order = jnp.argsort(~valid)  # stable: valid first, original order kept
     pts = points[order]
     cols = colors[order]
     vmask = valid[order]
-    n = jnp.sum(valid).astype(jnp.int32)
+    n = jnp.minimum(jnp.sum(valid), capacity).astype(jnp.int32)
+    if m > capacity:
+        pts, cols, vmask = pts[:capacity], cols[:capacity], vmask[:capacity]
+        m = capacity
 
     p, exist = _new_point_params(pts, cols, vmask, 0)
 

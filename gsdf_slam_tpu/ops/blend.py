@@ -90,14 +90,21 @@ def _segment_starts(t):
     return jax.lax.cummax(jnp.where(is_start, idx, 0))
 
 
-def _forward_scan(pair_tile, pair_gauss, means2d, conics, opacities, colors, grid_w, grid_h, chunk):
+def _num_chunks(total_pairs, mp, chunk):
+    """Chunks actually holding pairs (the rest are pure sentinel padding)."""
+    total = jnp.clip(total_pairs, 0, mp)
+    return (total + chunk - 1) // chunk
+
+
+def _forward_scan(pair_tile, pair_gauss, means2d, conics, opacities, colors, total_pairs, grid_w, grid_h, chunk):
     num_tiles = grid_w * grid_h
     mp = pair_tile.shape[0]
-    nc = mp // chunk
+    nc = _num_chunks(total_pairs, mp, chunk)
 
-    def body(carry, xs):
-        log_t_raw, log_t_eff, accum = carry
-        t, g = xs
+    def body(carry):
+        i, log_t_raw, log_t_eff, accum = carry
+        t = jax.lax.dynamic_slice(pair_tile, (i * chunk,), (chunk,))
+        g = jax.lax.dynamic_slice(pair_gauss, (i * chunk,), (chunk,))
         alpha, (_, _, _, _, _, _, tc) = _chunk_geometry(
             t, g, means2d, conics, opacities, grid_w, num_tiles
         )
@@ -118,15 +125,17 @@ def _forward_scan(pair_tile, pair_gauss, means2d, conics, opacities, colors, gri
         log_t_eff = log_t_eff.at[tc].add(
             jnp.where(applied, log1m, 0.0), indices_are_sorted=True
         )
-        return (log_t_raw, log_t_eff, accum), None
+        return (i + 1, log_t_raw, log_t_eff, accum)
 
     init = (
+        jnp.int32(0),
         jnp.zeros((num_tiles, PIX_PER_TILE), jnp.float32),
         jnp.zeros((num_tiles, PIX_PER_TILE), jnp.float32),
         jnp.zeros((num_tiles, PIX_PER_TILE, 3), jnp.float32),
     )
-    xs = (pair_tile.reshape(nc, chunk), pair_gauss.reshape(nc, chunk))
-    (log_t_raw, log_t_eff, accum), _ = jax.lax.scan(body, init, xs)
+    _, log_t_raw, log_t_eff, accum = jax.lax.while_loop(
+        lambda c: c[0] < nc, body, init
+    )
     return accum, log_t_eff, log_t_raw
 
 
@@ -137,6 +146,7 @@ def _backward_scan(
     conics,
     opacities,
     colors,
+    total_pairs,
     log_t_raw_final,
     ct_accum,
     ct_log_t_eff,
@@ -146,12 +156,13 @@ def _backward_scan(
 ):
     num_tiles = grid_w * grid_h
     mp = pair_tile.shape[0]
-    nc = mp // chunk
+    nc = _num_chunks(total_pairs, mp, chunk)
     p = means2d.shape[0]
 
-    def body(carry, xs):
-        log_t_end, suffix_dot, g_means2d, g_conics, g_op, g_colors = carry
-        t, g = xs
+    def body(carry):
+        i, log_t_end, suffix_dot, g_means2d, g_conics, g_op, g_colors = carry
+        t = jax.lax.dynamic_slice(pair_tile, (i * chunk,), (chunk,))
+        g = jax.lax.dynamic_slice(pair_gauss, (i * chunk,), (chunk,))
         alpha, (live, g_exp, dxv, dyv, con, op, tc) = _chunk_geometry(
             t, g, means2d, conics, opacities, grid_w, num_tiles
         )
@@ -206,9 +217,10 @@ def _backward_scan(
         g_colors = g_colors.at[g].add(d_col)
 
         suffix_dot = suffix_dot.at[tc].add(wc, indices_are_sorted=True)
-        return (log_t_start, suffix_dot, g_means2d, g_conics, g_op, g_colors), None
+        return (i - 1, log_t_start, suffix_dot, g_means2d, g_conics, g_op, g_colors)
 
     init = (
+        nc - 1,
         log_t_raw_final,
         ct_log_t_eff * 0.0,  # suffix over *later* chunks starts empty
         jnp.zeros((p, 2), jnp.float32),
@@ -216,39 +228,45 @@ def _backward_scan(
         jnp.zeros((p,), jnp.float32),
         jnp.zeros((p, 3), jnp.float32),
     )
-    xs = (pair_tile.reshape(nc, chunk), pair_gauss.reshape(nc, chunk))
-    carry, _ = jax.lax.scan(body, init, xs, reverse=True)
-    _, _, g_means2d, g_conics, g_op, g_colors = carry
+    carry = jax.lax.while_loop(lambda c: c[0] >= 0, body, init)
+    _, _, _, g_means2d, g_conics, g_op, g_colors = carry
     return g_means2d, g_conics, g_op, g_colors
 
 
 @functools.lru_cache(maxsize=32)
 def _make_blend(grid_w: int, grid_h: int, chunk: int):
     @jax.custom_vjp
-    def blend(pair_tile, pair_gauss, means2d, conics, opacities, colors):
+    def blend(pair_tile, pair_gauss, total_pairs, means2d, conics, opacities, colors):
         accum, log_t_eff, _ = _forward_scan(
             pair_tile, pair_gauss, means2d, conics, opacities, colors,
-            grid_w, grid_h, chunk,
+            total_pairs, grid_w, grid_h, chunk,
         )
         return accum, log_t_eff
 
-    def fwd(pair_tile, pair_gauss, means2d, conics, opacities, colors):
+    def fwd(pair_tile, pair_gauss, total_pairs, means2d, conics, opacities, colors):
         accum, log_t_eff, log_t_raw = _forward_scan(
             pair_tile, pair_gauss, means2d, conics, opacities, colors,
-            grid_w, grid_h, chunk,
+            total_pairs, grid_w, grid_h, chunk,
         )
-        res = (pair_tile, pair_gauss, means2d, conics, opacities, colors, log_t_raw)
+        res = (
+            pair_tile, pair_gauss, total_pairs, means2d, conics, opacities,
+            colors, log_t_raw,
+        )
         return (accum, log_t_eff), res
 
     def bwd(res, cts):
-        pair_tile, pair_gauss, means2d, conics, opacities, colors, log_t_raw = res
+        (
+            pair_tile, pair_gauss, total_pairs, means2d, conics, opacities,
+            colors, log_t_raw,
+        ) = res
         ct_accum, ct_log_t_eff = cts
         g_means2d, g_conics, g_op, g_colors = _backward_scan(
             pair_tile, pair_gauss, means2d, conics, opacities, colors,
-            log_t_raw, ct_accum, ct_log_t_eff, grid_w, grid_h, chunk,
+            total_pairs, log_t_raw, ct_accum, ct_log_t_eff, grid_w, grid_h, chunk,
         )
         zero_i = np.zeros(pair_tile.shape, dtype=jax.dtypes.float0)
-        return (zero_i, zero_i, g_means2d, g_conics, g_op, g_colors)
+        zero_s = np.zeros((), dtype=jax.dtypes.float0)
+        return (zero_i, zero_i, zero_s, g_means2d, g_conics, g_op, g_colors)
 
     blend.defvjp(fwd, bwd)
     return blend
@@ -261,6 +279,7 @@ def blend_tiles(
     conics: jnp.ndarray,
     opacities: jnp.ndarray,
     colors: jnp.ndarray,
+    total_pairs: jnp.ndarray | None = None,
     *,
     grid_w: int,
     grid_h: int,
@@ -268,14 +287,21 @@ def blend_tiles(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Blend sorted pairs into per-tile images.
 
+    `total_pairs` bounds the chunk loop to chunks that actually hold pairs
+    (the pair list is valid-prefix + sentinel padding); omitted, every chunk
+    of the capacity is processed.
+
     Returns:
       accum:     [num_tiles, 256, 3] pre-background color sums.
       log_t_eff: [num_tiles, 256] log final transmittance (exp = final_T of
                  forward.cu:458-463).
     """
     assert pair_tile.shape[0] % chunk == 0, "max_pairs must be divisible by chunk"
+    if total_pairs is None:
+        total_pairs = jnp.int32(pair_tile.shape[0])
     return _make_blend(grid_w, grid_h, chunk)(
-        pair_tile, pair_gauss, means2d, conics, opacities, colors
+        pair_tile, pair_gauss, jnp.asarray(total_pairs, jnp.int32),
+        means2d, conics, opacities, colors,
     )
 
 

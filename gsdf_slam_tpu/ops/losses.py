@@ -22,18 +22,18 @@ _C2 = 0.03**2
 
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    # cached as numpy: caching a jnp array can leak tracers across jit scopes
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs**2) / (2.0 * sigma * sigma)).astype(np.float32)
     g /= g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2d)
+    return np.outer(g, g).astype(np.float32)
 
 
 def _filter(img: jnp.ndarray, window_size: int) -> jnp.ndarray:
     """Grouped 11x11 conv, zero padding, per channel. img [H, W, C]."""
     c = img.shape[-1]
-    w = _gaussian_window(window_size)
+    w = jnp.asarray(_gaussian_window(window_size))
     kernel = jnp.broadcast_to(w[None, None], (c, 1, window_size, window_size))
     x = img.transpose(2, 0, 1)[None]  # [1, C, H, W]
     pad = window_size // 2

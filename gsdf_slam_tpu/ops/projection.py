@@ -92,20 +92,19 @@ def compute_cov2d(
     t0 = j00[:, None] * r[0][None, :] + j02[:, None] * r[2][None, :]  # [P,3]
     t1 = j11[:, None] * r[1][None, :] + j12[:, None] * r[2][None, :]
 
+    # Elementwise quadratic forms (batched [3]x[3,3] einsums are slow on TPU).
     c = cov3d  # (xx, xy, xz, yy, yz, zz)
-    sig = jnp.stack(
-        [
-            jnp.stack([c[:, 0], c[:, 1], c[:, 2]], axis=-1),
-            jnp.stack([c[:, 1], c[:, 3], c[:, 4]], axis=-1),
-            jnp.stack([c[:, 2], c[:, 4], c[:, 5]], axis=-1),
-        ],
-        axis=-2,
-    )  # [P, 3, 3]
-    s0 = jnp.einsum("pi,pij->pj", t0, sig, precision="highest")
-    s1 = jnp.einsum("pi,pij->pj", t1, sig, precision="highest")
-    cxx = jnp.einsum("pj,pj->p", s0, t0, precision="highest") + 0.3
-    cxy = jnp.einsum("pj,pj->p", s0, t1, precision="highest")
-    cyy = jnp.einsum("pj,pj->p", s1, t1, precision="highest") + 0.3
+    a0, a1, a2 = t0[:, 0], t0[:, 1], t0[:, 2]
+    b0, b1, b2 = t1[:, 0], t1[:, 1], t1[:, 2]
+    s00 = a0 * c[:, 0] + a1 * c[:, 1] + a2 * c[:, 2]
+    s01 = a0 * c[:, 1] + a1 * c[:, 3] + a2 * c[:, 4]
+    s02 = a0 * c[:, 2] + a1 * c[:, 4] + a2 * c[:, 5]
+    r00 = b0 * c[:, 0] + b1 * c[:, 1] + b2 * c[:, 2]
+    r01 = b0 * c[:, 1] + b1 * c[:, 3] + b2 * c[:, 4]
+    r02 = b0 * c[:, 2] + b1 * c[:, 4] + b2 * c[:, 5]
+    cxx = s00 * a0 + s01 * a1 + s02 * a2 + 0.3
+    cxy = s00 * b0 + s01 * b1 + s02 * b2
+    cyy = r00 * b0 + r01 * b1 + r02 * b2 + 0.3
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 

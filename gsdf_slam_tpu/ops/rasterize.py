@@ -42,10 +42,19 @@ class RasterizeConfig:
     max_pairs: int = 1 << 20
     chunk: int = 256
     scale_modifier: float = 1.0
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
+    pallas_chunk: int = 128  # lanes; must be a multiple of 128
 
     @property
     def grid(self) -> tuple[int, int]:
         return tile_grid(self.width, self.height)
+
+    def use_pallas(self) -> bool:
+        if self.backend == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return self.backend == "pallas"
 
 
 class RenderOutput(NamedTuple):
@@ -102,17 +111,37 @@ def render(
         jax.lax.stop_gradient(pre), jax.lax.stop_gradient(opacities),
         grid_w=gw, grid_h=gh, max_pairs=cfg.max_pairs,
     )
-    accum, log_t_eff = blend_tiles(
-        binned.pair_tile,
-        binned.pair_gauss,
-        pre.means2d,
-        pre.conics,
-        opacities,
-        pre.colors,
-        grid_w=gw,
-        grid_h=gh,
-        chunk=cfg.chunk,
-    )
+    if cfg.use_pallas():
+        from .binning import align_pairs
+        from .pallas_blend import blend_tiles_pallas
+
+        aligned = align_pairs(
+            binned, means3d.shape[0], num_tiles=gw * gh, chunk=cfg.pallas_chunk
+        )
+        accum, log_t_eff = blend_tiles_pallas(
+            aligned.ranges,
+            aligned.pair_gauss,
+            pre.means2d,
+            pre.conics,
+            opacities,
+            pre.colors,
+            grid_w=gw,
+            grid_h=gh,
+            chunk=cfg.pallas_chunk,
+        )
+    else:
+        accum, log_t_eff = blend_tiles(
+            binned.pair_tile,
+            binned.pair_gauss,
+            pre.means2d,
+            pre.conics,
+            opacities,
+            pre.colors,
+            binned.total_pairs,
+            grid_w=gw,
+            grid_h=gh,
+            chunk=cfg.chunk,
+        )
     image, final_t = assemble_image(
         accum, log_t_eff, bg, grid_w=gw, grid_h=gh, width=cfg.width, height=cfg.height
     )

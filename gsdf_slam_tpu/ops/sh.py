@@ -116,5 +116,7 @@ def eval_sh_color(
     basis = sh_basis(d, degree)  # [N, K]
     coeffs = jnp.concatenate([dc, sh_rest], axis=1)  # [N, 16, 3]
     k = basis.shape[-1]
-    rgb = jnp.einsum("nk,nkc->nc", basis, coeffs[:, :k, :], precision="highest") + 0.5
+    # broadcast-multiply-reduce on the VPU: a batched [16]x[16,3] einsum
+    # lowers to per-point micro-matmuls, ~100x slower on TPU.
+    rgb = jnp.sum(basis[:, :, None] * coeffs[:, :k, :], axis=1) + 0.5
     return jnp.maximum(rgb, 0.0)

@@ -59,18 +59,28 @@ def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray, scale_modifier: float |
     Sigma = R S S^T R^T with S = diag(scale_modifier * scales); packed as
     (xx, xy, xz, yy, yz, zz) like forward.cu:154-193.
     """
-    r = quat_to_rotmat(quats)  # [N,3,3]
-    s = scale_modifier * scales  # [N,3]
-    m = r * s[..., None, :]  # R @ diag(s)
-    sigma = jnp.einsum("nij,nkj->nik", m, m, precision="highest")  # M M^T
+    # Fully elementwise (no [N,3,3] batched matmuls — those lower to
+    # per-point micro-dots on TPU and are ~100x slower than VPU math).
+    w, x, y, z = quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3]
+    s = scale_modifier * scales
+    s0, s1, s2 = s[..., 0], s[..., 1], s[..., 2]
+    m00 = (1.0 - 2.0 * (y * y + z * z)) * s0
+    m01 = (2.0 * (x * y - w * z)) * s1
+    m02 = (2.0 * (x * z + w * y)) * s2
+    m10 = (2.0 * (x * y + w * z)) * s0
+    m11 = (1.0 - 2.0 * (x * x + z * z)) * s1
+    m12 = (2.0 * (y * z - w * x)) * s2
+    m20 = (2.0 * (x * z - w * y)) * s0
+    m21 = (2.0 * (y * z + w * x)) * s1
+    m22 = (1.0 - 2.0 * (x * x + y * y)) * s2
     return jnp.stack(
         [
-            sigma[:, 0, 0],
-            sigma[:, 0, 1],
-            sigma[:, 0, 2],
-            sigma[:, 1, 1],
-            sigma[:, 1, 2],
-            sigma[:, 2, 2],
+            m00 * m00 + m01 * m01 + m02 * m02,
+            m00 * m10 + m01 * m11 + m02 * m12,
+            m00 * m20 + m01 * m21 + m02 * m22,
+            m10 * m10 + m11 * m11 + m12 * m12,
+            m10 * m20 + m11 * m21 + m12 * m22,
+            m20 * m20 + m21 * m21 + m22 * m22,
         ],
         axis=-1,
     )

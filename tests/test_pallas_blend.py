@@ -1,0 +1,45 @@
+"""Pallas blend parity vs the XLA reference path.
+
+Runs only on real TPU hardware (the kernels use Mosaic-specific DMA and
+SMEM layouts; the CPU suite covers the XLA path which is the numeric
+golden). Exercised by CI-on-TPU and bench runs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsdf_slam_tpu.ops import RasterizeConfig, render
+
+from test_render import make_scene
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="pallas kernels need a TPU"
+)
+
+
+def test_pallas_matches_xla_forward_and_grad():
+    scene = make_scene(p=96, seed=1)
+    cfg_x = RasterizeConfig(height=64, width=64, max_pairs=4096, chunk=128, backend="xla")
+    cfg_p = dataclasses.replace(cfg_x, backend="pallas")
+    ox = jax.jit(render, static_argnums=(9,))(*scene, cfg_x)
+    op = jax.jit(render, static_argnums=(9,))(*scene, cfg_p)
+    np.testing.assert_allclose(ox.image, op.image, atol=5e-6)
+    np.testing.assert_allclose(ox.final_t, op.final_t, atol=5e-6)
+
+    def loss(params, cfg):
+        means, scales, quats, opac, dc, sh = params
+        out = render(means, scales, quats, opac, dc, sh, *scene[6:], cfg)
+        return jnp.sum(out.image**2) + 0.1 * jnp.sum(out.final_t)
+
+    params = scene[:6]
+    gx = jax.jit(jax.grad(loss), static_argnums=(1,))(params, cfg_x)
+    gp = jax.jit(jax.grad(loss), static_argnums=(1,))(params, cfg_p)
+    for a, b in zip(gx, gp):
+        scale = max(float(jnp.abs(a).max()), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5
+        )
