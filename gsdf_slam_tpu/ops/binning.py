@@ -8,14 +8,12 @@ we use a **capacity-padded pair list** of MAX_PAIRS slots. Invalid slots get
 the sentinel tile id ``num_tiles`` and sort to the end (mirroring the
 reference's 0xFFFFFFFF dummy keys, rasterizer_impl.cu:202-210).
 
-Instead of one 64-bit [tile|depth] radix sort we exploit sort stability:
-  1. depth-argsort the P Gaussians once (argsort is stable: depth ties keep
-     original index order, same as a stable radix sort on float depth bits);
-  2. emit pairs in Gaussian-depth order (slot -> owning Gaussian via a
-     scatter + cummax instead of a binary search);
-  3. one stable 32-bit key sort by tile id — within a tile, pairs stay in
-     depth order. Sorting int32 instead of the 64-bit key halves sort
-     bandwidth, the classic TPU win.
+Pairs are expanded in buffer order (slot -> owning Gaussian via a scatter +
+cummax instead of a binary search) and sorted once with a lexicographic
+(tile, depth) two-key stable sort — float compare on positive depths orders
+exactly like the reference's radix sort on raw float bits, and stability
+breaks (tile, depth) ties by buffer order just like the reference's stable
+radix pass over insertion order.
 
 Per-tile opacity-aware culling replicates
 max_contrib_power_rect_gaussian_float (rasterizer_impl.cu:66-118): a pair is
@@ -106,13 +104,8 @@ def bin_gaussians(pre: Preprocessed, opacities: jnp.ndarray, *, grid_w: int, gri
     """
     p = pre.depths.shape[0]
     num_tiles = grid_w * grid_h
-    visible = pre.tiles_touched > 0
 
-    # 1) Depth order (invalid last). jnp.argsort is stable.
-    depth_key = jnp.where(visible, pre.depths, jnp.inf)
-    order = jnp.argsort(depth_key)  # [P] original indices, near-to-far
-
-    # Depth-ordered packed tables (single wide gathers by `order`).
+    # Packed per-Gaussian tables in buffer order (wide-row gathers later).
     itable0 = jnp.concatenate(
         [
             pre.rect_min,  # 0: x, 1: y
@@ -121,16 +114,17 @@ def bin_gaussians(pre: Preprocessed, opacities: jnp.ndarray, *, grid_w: int, gri
             jnp.arange(p, dtype=jnp.int32)[:, None],  # 4: original index
         ],
         axis=1,
-    )[order]
+    )
     ftable = jnp.concatenate(
         [
             pre.means2d,  # 0,1
             pre.conics,  # 2,3,4
             opacities[:, None],  # 5
-            jnp.zeros((p, 2), jnp.float32),
+            pre.depths[:, None],  # 6
+            jnp.zeros((p, 1), jnp.float32),
         ],
         axis=1,
-    )[order]
+    )
 
     tiles_d = itable0[:, 3]
 
@@ -163,9 +157,10 @@ def bin_gaussians(pre: Preprocessed, opacities: jnp.ndarray, *, grid_w: int, gri
 
     tile_id = jnp.where(pair_valid, ty * grid_w + tx, num_tiles).astype(jnp.int32)
 
-    # 3) Stable sort by tile id only; depth order survives within each tile.
-    sorted_tile, sorted_gauss = jax.lax.sort(
-        (tile_id, gauss.astype(jnp.int32)), num_keys=1, is_stable=True
+    # One stable lexicographic (tile, depth) sort; ties keep buffer order,
+    # matching the reference's stable radix over [tile|depth-bits] keys.
+    sorted_tile, _, sorted_gauss = jax.lax.sort(
+        (tile_id, frows[:, 6], gauss.astype(jnp.int32)), num_keys=2, is_stable=True
     )
     return Binned(pair_tile=sorted_tile, pair_gauss=sorted_gauss, total_pairs=total)
 

@@ -30,22 +30,35 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def _gaussian_taps(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs**2) / (2.0 * sigma * sigma)).astype(np.float32)
+    return g / g.sum()
+
+
 def _filter(img: jnp.ndarray, window_size: int) -> jnp.ndarray:
-    """Grouped 11x11 conv, zero padding, per channel. img [H, W, C]."""
-    c = img.shape[-1]
-    w = jnp.asarray(_gaussian_window(window_size))
-    kernel = jnp.broadcast_to(w[None, None], (c, 1, window_size, window_size))
-    x = img.transpose(2, 0, 1)[None]  # [1, C, H, W]
+    """Separable Gaussian filter with zero padding. img [H, W, C].
+
+    The 2D window is an outer product of one 1D Gaussian, so zero-padded
+    separable filtering is exactly the reference's grouped conv2d
+    (loss_utils.h:85-97). Implemented as 11-tap shift-adds per axis — a
+    3-channel grouped convolution pads channels to the TPU's native 128
+    lanes and runs ~25x slower than this pure-VPU form.
+    """
+    taps = _gaussian_taps(window_size)
     pad = window_size // 2
-    y = jax.lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y[0].transpose(1, 2, 0)
+    h, w = img.shape[0], img.shape[1]
+
+    x = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)))
+    out = taps[0] * x[0:h]
+    for k in range(1, window_size):
+        out = out + taps[k] * x[k : k + h]
+    x = jnp.pad(out, ((0, 0), (pad, pad), (0, 0)))
+    out = taps[0] * x[:, 0:w]
+    for k in range(1, window_size):
+        out = out + taps[k] * x[:, k : k + w]
+    return out
 
 
 def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
