@@ -40,6 +40,12 @@ def load_poses(
     path = Path(pose_path)
     if not path.exists():
         raise FileNotFoundError(f"Pose file does not exist: {path}")
+    if not with_head:
+        from . import native_io
+
+        fast = native_io.load_poses(path, pose_type)
+        if fast is not None:
+            return fast
     rows = []
     with open(path) as f:
         for line in f:

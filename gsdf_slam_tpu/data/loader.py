@@ -34,6 +34,7 @@ DATASET_TYPES = {
     "kitti": 3,
     "spires": 5,
     "tum": 6,
+    "euroc": 7,
 }
 
 
@@ -70,6 +71,10 @@ class DataLoader:
             self.parser = ReplicaParser(dataset_path)
         elif dataset_type == "tum":
             self.parser = TumParser(dataset_path)
+        elif dataset_type == "euroc":
+            from .euroc import EurocParser
+
+            self.parser = EurocParser(dataset_path)
         else:
             raise ValueError(f"unsupported dataset type: {dataset_type}")
         self.frames: FrameSet = self.parser.frames()
@@ -140,9 +145,61 @@ class DataLoader:
             image=image,
         )
 
+    # -- stereo datasets -----------------------------------------------------
+    def _get_item_stereo(self, idx: int) -> FrameData:
+        """EuRoC: SGBM depth on the rectified pair, backprojected and
+        colorized from the rectified left image."""
+        import cv2
+
+        from .base_parser import CameraIntrinsics
+        from .euroc import stereo_depth
+        from .replica import backproject_depth
+
+        fr = self.frames
+        rect = self.parser.rectification()
+        left = cv2.imread(str(fr.color_files[idx]), cv2.IMREAD_GRAYSCALE)
+        right = cv2.imread(str(fr.depth_files[idx]), cv2.IMREAD_GRAYSCALE)
+        depth = stereo_depth(left, right, rect)
+        left_rect = cv2.remap(left, *rect["maps0"], cv2.INTER_LINEAR)
+        image = (
+            np.repeat(left_rect[..., None], 3, axis=-1).astype(np.float32) / 255.0
+        )
+
+        p1 = rect["P1"]
+        intr = CameraIntrinsics(
+            p1[0, 0], p1[1, 1], p1[0, 2], p1[1, 2],
+            depth.shape[1], depth.shape[0],
+        )
+        stride = max(self.cloud_stride, 1)
+        pts_rect = backproject_depth(depth, intr, stride=stride)
+        # rectified cam -> cam0 -> world
+        r1 = rect["R1"]
+        t_wc0 = fr.color_poses[idx].astype(np.float64)
+        pts_c0 = pts_rect @ r1  # == (R1^T @ p)^T rows
+        pts_world = pts_c0 @ t_wc0[:3, :3].T + t_wc0[:3, 3]
+        ys, xs = np.meshgrid(
+            np.arange(0, depth.shape[0], stride),
+            np.arange(0, depth.shape[1], stride),
+            indexing="ij",
+        )
+        dv = depth[ys, xs] > 0
+        cols = image[ys, xs][dv]
+        # pose of the rectified camera for rendering/training
+        t_rect = np.eye(4)
+        t_rect[:3, :3] = r1.T
+        pose_rect = (t_wc0 @ t_rect).astype(np.float32)
+        return FrameData(
+            cam_pose=pose_rect,
+            points=pts_world.astype(np.float32),
+            colors=cols.astype(np.float32),
+            image=image,
+        )
+
     def get_item(self, idx: int) -> FrameData:
         if self.type in ("kitti", "spires"):
             return self._get_item_lidar(idx)
+        if self.type == "euroc":
+            return self._get_item_stereo(idx)
         return self._get_item_rgbd(idx)
 
     def get_pose(self, idx: int) -> np.ndarray:

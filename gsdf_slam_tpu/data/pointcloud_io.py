@@ -16,11 +16,21 @@ from ..io.ply import read_ply
 
 def read_kitti_bin(path: str | Path) -> np.ndarray:
     """KITTI velodyne scan: packed float32 (x, y, z, intensity) records."""
+    from . import native_io
+
+    fast = native_io.read_kitti_bin(path)
+    if fast is not None:
+        return fast
     raw = np.fromfile(path, dtype=np.float32)
     return raw.reshape(-1, 4)[:, :3].copy()
 
 
 def read_ply_points(path: str | Path) -> np.ndarray:
+    from . import native_io
+
+    fast = native_io.read_ply_xyz(path)
+    if fast is not None:
+        return fast
     p = read_ply(path)
     return np.stack([p["x"], p["y"], p["z"]], -1).astype(np.float32)
 

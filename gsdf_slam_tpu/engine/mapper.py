@@ -311,6 +311,157 @@ class GaussianMapper:
             "total_pairs": int(metrics.total_pairs),
         }
 
+    # ------------------------------------------------------- SLAM-mode feed
+    def feed_keyframe(
+        self,
+        fid: int,
+        t_wc: np.ndarray,
+        image: np.ndarray,
+        points: np.ndarray | None = None,
+        colors: np.ndarray | None = None,
+        depth: np.ndarray | None = None,
+        intrinsics=None,
+    ) -> Keyframe:
+        """Tracking-fed keyframe ingestion (Photo-SLAM operating mode).
+
+        The reference receives keyframes+poses from an ORB-SLAM3 tracker
+        (SURVEY.md §3.6); here any host-side tracker pushes (pose, image,
+        and either a sparse map-point cloud, an RGB-D depth image, or
+        nothing for pure monocular). Returns the registered keyframe;
+        call train_for_one_iteration() to optimize.
+        """
+        if depth is not None and points is None:
+            from ..data.replica import backproject_depth
+
+            intr = intrinsics or self._intr_from_image(image)
+            pts_cam = backproject_depth(depth, intr, stride=4)
+            t = np.asarray(t_wc, np.float64)
+            points = (pts_cam @ t[:3, :3].T + t[:3, 3]).astype(np.float32)
+            ys, xs = np.meshgrid(
+                np.arange(0, depth.shape[0], 4), np.arange(0, depth.shape[1], 4),
+                indexing="ij",
+            )
+            colors = image[ys, xs][depth[ys, xs] > 0].astype(np.float32)
+        if points is None:
+            points = np.zeros((0, 3), np.float32)
+            colors = np.zeros((0, 3), np.float32)
+        frame = FrameData(
+            cam_pose=np.asarray(t_wc, np.float32),
+            points=points,
+            colors=colors if colors is not None else np.zeros_like(points),
+            image=np.asarray(image, np.float32),
+        )
+        return self.ingest_frame(fid, frame)
+
+    def _intr_from_image(self, image: np.ndarray):
+        from ..data import CameraIntrinsics
+
+        cam0 = next(iter(self.scene.cameras.values()), None)
+        h, w = image.shape[:2]
+        if cam0 is not None:
+            return CameraIntrinsics(cam0.fx, cam0.fy, cam0.cx, cam0.cy, w, h)
+        return CameraIntrinsics(w / 2.0, w / 2.0, (w - 1) / 2.0, (h - 1) / 2.0, w, h)
+
+    # ----------------------------------------------- live parameter channel
+    def get_variable_parameters(self):
+        """getVaribleParameters (gaussian_mapper.cpp:941-960)."""
+        from .variable_params import VariableParameters
+
+        s = self.settings
+        return VariableParameters(
+            position_lr_init=s.opt.position_lr_init,
+            feature_lr=s.opt.feature_lr,
+            opacity_lr=s.opt.opacity_lr,
+            scaling_lr=s.opt.scaling_lr,
+            rotation_lr=s.opt.rotation_lr,
+            percent_dense=s.opt.percent_dense,
+            lambda_dssim=s.opt.lambda_dssim,
+            opacity_reset_interval=s.opt.opacity_reset_interval,
+            densify_grad_th=s.opt.densify_grad_threshold,
+            densify_interval=s.opt.densification_interval,
+            new_kf_times_of_use=s.new_keyframe_times_of_use,
+            keep_training=not self._stopped,
+            do_gaus_pyramid_training=s.do_gaus_pyramid_training,
+        )
+
+    def set_variable_parameters(self, p) -> None:
+        """setVaribleParameters (gaussian_mapper.cpp:962-982). No recompiles:
+        every mutated value is a traced input of the jitted train step."""
+        import dataclasses as _dc
+
+        s = self.settings
+        self.settings = _dc.replace(
+            s,
+            opt=_dc.replace(
+                s.opt,
+                position_lr_init=p.position_lr_init,
+                feature_lr=p.feature_lr,
+                opacity_lr=p.opacity_lr,
+                scaling_lr=p.scaling_lr,
+                rotation_lr=p.rotation_lr,
+                percent_dense=p.percent_dense,
+                lambda_dssim=p.lambda_dssim,
+                opacity_reset_interval=p.opacity_reset_interval,
+                densify_grad_threshold=p.densify_grad_th,
+                densification_interval=p.densify_interval,
+            ),
+            new_keyframe_times_of_use=p.new_kf_times_of_use,
+            do_gaus_pyramid_training=p.do_gaus_pyramid_training,
+        )
+        if not p.keep_training:
+            self.signal_stop()
+
+    # ---------------------------------------------------------- checkpoints
+    def save_checkpoint(self, path: str | Path) -> None:
+        """Full training checkpoint: parameters AND optimizer state AND
+        iteration counter — a deliberate capability extension over the
+        reference, whose PLY checkpoints drop Adam moments and the iteration
+        (gaussian_model.cpp:861-954; loadPly resumes view-only)."""
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        blobs = {f"state.{k}": np.asarray(v) for k, v in self.state.params().items()}
+        blobs.update(
+            {
+                "state.count": np.asarray(self.state.count),
+                "state.exist_since_iter": np.asarray(self.state.exist_since_iter),
+                "state.max_radii2d": np.asarray(self.state.max_radii2d),
+                "state.xyz_grad_accum": np.asarray(self.state.xyz_grad_accum),
+                "state.denom": np.asarray(self.state.denom),
+                "adam.step": np.asarray(self.adam.step),
+                "iteration": np.asarray(self.iteration),
+                "spatial_lr_scale": np.asarray(self.spatial_lr_scale),
+                "cameras_extent": np.asarray(self.scene.cameras_extent),
+            }
+        )
+        for k, v in self.adam.m.items():
+            blobs[f"adam.m.{k}"] = np.asarray(v)
+        for k, v in self.adam.v.items():
+            blobs[f"adam.v.{k}"] = np.asarray(v)
+        np.savez_compressed(path, **blobs)
+
+    def load_checkpoint(self, path: str | Path) -> None:
+        z = np.load(path)
+        params = {k.split(".", 1)[1]: jnp.asarray(z[k]) for k in z.files if k.startswith("state.") and k.split(".", 1)[1] in ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation")}
+        cap = params["xyz"].shape[0]
+        self.state = GaussianState(
+            **params,
+            count=jnp.asarray(z["state.count"]),
+            exist_since_iter=jnp.asarray(z["state.exist_since_iter"]),
+            max_radii2d=jnp.asarray(z["state.max_radii2d"]),
+            xyz_grad_accum=jnp.asarray(z["state.xyz_grad_accum"]),
+            denom=jnp.asarray(z["state.denom"]),
+        )
+        self.adam = AdamState(
+            m={k.split(".", 2)[2]: jnp.asarray(z[k]) for k in z.files if k.startswith("adam.m.")},
+            v={k.split(".", 2)[2]: jnp.asarray(z[k]) for k in z.files if k.startswith("adam.v.")},
+            step=jnp.asarray(z["adam.step"]),
+        )
+        self.capacity = cap
+        self.iteration = int(z["iteration"])
+        self.spatial_lr_scale = float(z["spatial_lr_scale"])
+        self.scene.cameras_extent = float(z["cameras_extent"])
+        self.initial_mapped = True
+
     # ------------------------------------------------------------ rendering
     def render_from_pose(
         self, t_cw: np.ndarray, width: int, height: int, fovx=None, fovy=None

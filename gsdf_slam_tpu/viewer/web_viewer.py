@@ -1,0 +1,196 @@
+"""Web viewer: the TPU-native replacement for the ImGui/OpenGL viewer.
+
+The reference viewer (viewer/imgui_viewer.cpp) runs a GLFW window on the
+training machine: a free-fly camera rendered via GaussianMapper::renderFromPose
+plus live hyperparameter sliders round-tripped through get/setVaribleParameters.
+A TPU VM has no display, so the equivalent surface is a tiny stdlib HTTP
+server + single-page client:
+
+    GET  /            -> canvas UI (WASD + mouse-drag free-fly, sliders)
+    GET  /render?...  -> JPEG rendered from the requested pose
+    GET  /params      -> current VariableParameters (JSON)
+    POST /params      -> live update (maps to setVaribleParameters)
+    GET  /stats       -> iteration / point count / ema loss
+
+Runs in a host thread next to the training loop, like the reference's
+viewer thread (demo/train_kitti.cpp:73-82); renders share the jitted
+renderFromPose path (one compile per viewer resolution).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>gsdf_slam_tpu viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font-family:monospace;display:flex}
+#view{flex:1} #panel{width:280px;padding:12px;background:#1a1a1a}
+canvas{display:block;width:100%} label{display:block;margin-top:8px;font-size:11px}
+input[type=range]{width:100%} #stats{white-space:pre;font-size:11px;margin-top:12px}
+</style></head><body>
+<div id=view><canvas id=c width=640 height=360></canvas></div>
+<div id=panel><b>gsdf_slam_tpu</b>
+<div id=sliders></div><div id=stats></div></div>
+<script>
+let yaw=0,pitch=0,pos=[0,0,-2],keys={};
+const c=document.getElementById('c');
+document.addEventListener('keydown',e=>keys[e.key]=1);
+document.addEventListener('keyup',e=>keys[e.key]=0);
+let drag=null;
+c.addEventListener('mousedown',e=>drag=[e.x,e.y]);
+document.addEventListener('mouseup',()=>drag=null);
+document.addEventListener('mousemove',e=>{if(drag){yaw+=(e.x-drag[0])*0.003;pitch+=(e.y-drag[1])*0.003;drag=[e.x,e.y];}});
+function step(){
+  const s=0.08,cy=Math.cos(yaw),sy=Math.sin(yaw);
+  const fwd=[sy,0,cy],right=[cy,0,-sy];
+  if(keys['w'])pos=pos.map((v,i)=>v+fwd[i]*s);
+  if(keys['s'])pos=pos.map((v,i)=>v-fwd[i]*s);
+  if(keys['a'])pos=pos.map((v,i)=>v-right[i]*s);
+  if(keys['d'])pos=pos.map((v,i)=>v+right[i]*s);
+  if(keys['q'])pos[1]-=s; if(keys['e'])pos[1]+=s;
+}
+async function loop(){
+  step();
+  const q=`yaw=${yaw}&pitch=${pitch}&x=${pos[0]}&y=${pos[1]}&z=${pos[2]}&w=640&h=360`;
+  const img=new Image();
+  img.onload=()=>{c.getContext('2d').drawImage(img,0,0);requestAnimationFrame(loop)};
+  img.onerror=()=>setTimeout(loop,500);
+  img.src='/render?'+q+'&t='+Date.now();
+}
+async function stats(){
+  try{const r=await fetch('/stats');document.getElementById('stats').textContent=
+    JSON.stringify(await r.json(),null,1);}catch(e){}
+  setTimeout(stats,1000);
+}
+async function buildSliders(){
+  const p=await (await fetch('/params')).json();
+  const div=document.getElementById('sliders');
+  for(const[k,v]of Object.entries(p)){
+    if(typeof v!=='number')continue;
+    const l=document.createElement('label');
+    l.textContent=k+' = '+v;
+    const r=document.createElement('input');
+    r.type='range';r.min=0;r.max=Math.max(v*4,1e-6);r.step=Math.max(v/100,1e-7);r.value=v;
+    r.oninput=async()=>{l.firstChild.textContent=k+' = '+r.value;
+      await fetch('/params',{method:'POST',body:JSON.stringify({[k]:parseFloat(r.value)})});};
+    div.appendChild(l);l.appendChild(r);
+  }
+}
+buildSliders();stats();loop();
+</script></body></html>"""
+
+
+def _pose_from_query(q) -> np.ndarray:
+    yaw = float(q.get("yaw", ["0"])[0])
+    pitch = float(q.get("pitch", ["0"])[0])
+    pos = np.array(
+        [float(q.get(k, ["0"])[0]) for k in ("x", "y", "z")], dtype=np.float64
+    )
+    cy, sy = math.cos(yaw), math.sin(yaw)
+    cp, sp = math.cos(pitch), math.sin(pitch)
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    r_wc = ry @ rx  # camera->world rotation
+    t_cw = np.eye(4)
+    t_cw[:3, :3] = r_wc.T
+    t_cw[:3, 3] = -r_wc.T @ pos
+    return t_cw.astype(np.float32)
+
+
+class ViewerServer:
+    def __init__(self, mapper, host: str = "0.0.0.0", port: int = 8090):
+        self.mapper = mapper
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/":
+                    self._send(200, _PAGE.encode(), "text/html")
+                elif u.path == "/render":
+                    q = parse_qs(u.query)
+                    w = int(q.get("w", ["640"])[0])
+                    h = int(q.get("h", ["360"])[0])
+                    if outer.mapper.state is None:
+                        self._send(503, b"{}")
+                        return
+                    img = outer.mapper.render_from_pose(_pose_from_query(q), w, h)
+                    buf = io.BytesIO()
+                    try:
+                        import cv2
+
+                        ok, enc = cv2.imencode(
+                            ".jpg",
+                            cv2.cvtColor(
+                                (np.clip(img, 0, 1) * 255).astype(np.uint8),
+                                cv2.COLOR_RGB2BGR,
+                            ),
+                        )
+                        buf.write(enc.tobytes())
+                    except ImportError:
+                        from PIL import Image
+
+                        Image.fromarray(
+                            (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                        ).save(buf, "JPEG")
+                    self._send(200, buf.getvalue(), "image/jpeg")
+                elif u.path == "/params":
+                    import dataclasses
+
+                    p = outer.mapper.get_variable_parameters()
+                    self._send(200, json.dumps(dataclasses.asdict(p)).encode())
+                elif u.path == "/stats":
+                    m = outer.mapper
+                    self._send(
+                        200,
+                        json.dumps(
+                            {
+                                "iteration": m.iteration,
+                                "points": int(m.state.count) if m.state is not None else 0,
+                                "ema_loss": round(m.ema_loss, 6),
+                                "keyframes": len(m.scene.keyframes),
+                            }
+                        ).encode(),
+                    )
+                else:
+                    self._send(404, b"{}")
+
+            def do_POST(self):
+                if urlparse(self.path).path == "/params":
+                    n = int(self.headers.get("Content-Length", 0))
+                    updates = json.loads(self.rfile.read(n) or b"{}")
+                    p = outer.mapper.get_variable_parameters()
+                    for k, v in updates.items():
+                        if hasattr(p, k):
+                            setattr(p, k, type(getattr(p, k))(v))
+                    outer.mapper.set_variable_parameters(p)
+                    self._send(200, b"{}")
+                else:
+                    self._send(404, b"{}")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def start(self):
+        self.thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()

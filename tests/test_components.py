@@ -1,0 +1,167 @@
+"""Tests for auxiliary components: SE3, coordinates, native IO, checkpoints,
+variable parameters, SLAM feed, viewer endpoints, undistortion."""
+
+import numpy as np
+import pytest
+
+from gsdf_slam_tpu.utils import (
+    rotation_angle,
+    se3_exp,
+    se3_inverse,
+    se3_log,
+    so3_exp,
+    so3_log,
+)
+
+
+def test_se3_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        xi = rng.normal(0, 0.8, 6)
+        t = se3_exp(xi)
+        np.testing.assert_allclose(se3_log(t), xi, atol=1e-8)
+        np.testing.assert_allclose(t @ se3_inverse(t), np.eye(4), atol=1e-10)
+    w = rng.normal(0, 1, 3)
+    np.testing.assert_allclose(so3_log(so3_exp(w)), w, atol=1e-8)
+    assert abs(rotation_angle(so3_exp([0.3, 0, 0])) - 0.3) < 1e-8
+
+
+def test_coordinates_roundtrip():
+    from gsdf_slam_tpu.utils import convert_points
+
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(5, 3))
+    back = convert_points(convert_points(pts, "opencv", "kitti_lidar"), "kitti_lidar", "opencv")
+    np.testing.assert_allclose(back, pts, atol=1e-12)
+    # kitti lidar x-forward maps to opencv z-forward
+    fwd = convert_points(np.array([[1.0, 0, 0]]), "kitti_lidar", "opencv")
+    np.testing.assert_allclose(fwd, [[0, 0, 1]], atol=1e-12)
+
+
+def test_native_io_matches_python(tmp_path):
+    from gsdf_slam_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(2)
+    # kitti bin
+    pts = rng.normal(size=(100, 4)).astype(np.float32)
+    f = tmp_path / "a.bin"
+    pts.tofile(f)
+    np.testing.assert_allclose(native_io.read_kitti_bin(f), pts[:, :3])
+    # poses, all four formats
+    from gsdf_slam_tpu.data.base_parser import load_poses
+
+    m = rng.normal(size=(2, 4, 4))
+    p1 = tmp_path / "p1.txt"
+    p1.write_text("\n".join(" ".join(f"{v:.9f}" for v in row.reshape(-1)) for row in m))
+    nat, _ = native_io.load_poses(p1, 1)
+    py, _ = load_poses(p1, 1)
+    np.testing.assert_allclose(nat, py, atol=1e-6)
+    p3 = tmp_path / "p3.txt"
+    p3.write_text("12.5 1 2 3 0.1 0.2 0.3 0.95\n")
+    nat3, st3 = native_io.load_poses(p3, 3)
+    py3, pst3 = load_poses(p3, 3)
+    np.testing.assert_allclose(nat3, py3, atol=1e-6)
+    assert st3[0] == pst3[0]
+    # ply
+    from gsdf_slam_tpu.io import write_ply
+
+    f2 = tmp_path / "c.ply"
+    write_ply(f2, {"x": pts[:, 0], "y": pts[:, 1], "z": pts[:, 2]})
+    np.testing.assert_allclose(native_io.read_ply_xyz(f2), pts[:, :3], atol=1e-7)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from test_mapper import _mapper, make_frames
+
+    frames = make_frames(n=2)
+    m = _mapper(frames)
+    m.ingest_frame(0, frames[0])
+    m.train_for_one_iteration()
+    m.train_for_one_iteration()
+    ckpt = tmp_path / "ck.npz"
+    m.save_checkpoint(ckpt)
+
+    m2 = _mapper(frames)
+    m2.load_checkpoint(ckpt)
+    assert m2.iteration == m.iteration
+    assert int(m2.state.count) == int(m.state.count)
+    np.testing.assert_allclose(np.asarray(m2.state.xyz), np.asarray(m.state.xyz))
+    np.testing.assert_allclose(np.asarray(m2.adam.m["xyz"]), np.asarray(m.adam.m["xyz"]))
+    assert int(m2.adam.step) == int(m.adam.step)
+
+
+def test_variable_parameters_roundtrip():
+    from test_mapper import _mapper, make_frames
+
+    m = _mapper(make_frames(n=1))
+    p = m.get_variable_parameters()
+    p.feature_lr = 0.9
+    p.densify_interval = 77
+    m.set_variable_parameters(p)
+    p2 = m.get_variable_parameters()
+    assert p2.feature_lr == pytest.approx(0.9)
+    assert p2.densify_interval == 77
+
+
+def test_feed_keyframe_slam_mode():
+    from test_mapper import _mapper, make_frames
+
+    frames = make_frames(n=1)
+    m = _mapper(frames)
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    depth = np.full((32, 32), 3.0, np.float32)
+    kf = m.feed_keyframe(0, np.eye(4, dtype=np.float32), img, depth=depth)
+    assert m.initial_mapped
+    assert int(m.state.count) > 0
+    out = m.train_for_one_iteration()
+    assert out is not None and np.isfinite(out["loss"])
+
+
+def test_undistort_mask():
+    cv2 = pytest.importorskip("cv2")
+    from gsdf_slam_tpu.engine.camera_undistort import UndistortRectifier
+
+    k = np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]])
+    dist = np.array([0.3, 0.0, 0.0, 0.0])  # pincushion -> black corners
+    u = UndistortRectifier(k, dist, 64, 48)
+    assert u.mask.shape == (48, 64)
+    assert u.mask[0, 0] == 0.0 and u.mask.mean() < 1.0
+    masks = u.pyramid_masks([0.5, 0.25])
+    assert masks[0].shape == (24, 32) and masks[1].shape == (12, 16)
+
+
+def test_viewer_endpoints():
+    import json
+    import urllib.request
+
+    from gsdf_slam_tpu.viewer import ViewerServer
+    from test_mapper import _mapper, make_frames
+
+    frames = make_frames(n=1)
+    m = _mapper(frames)
+    m.ingest_frame(0, frames[0])
+    srv = ViewerServer(m, host="127.0.0.1", port=18099).start()
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:18099/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["points"] > 0
+        with urllib.request.urlopen("http://127.0.0.1:18099/params", timeout=30) as r:
+            params = json.loads(r.read())
+        assert "feature_lr" in params
+        req = urllib.request.Request(
+            "http://127.0.0.1:18099/params",
+            data=json.dumps({"feature_lr": 0.42}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=30)
+        assert m.settings.opt.feature_lr == pytest.approx(0.42)
+        with urllib.request.urlopen(
+            "http://127.0.0.1:18099/render?w=32&h=32&z=-3", timeout=120
+        ) as r:
+            assert r.headers["Content-Type"] == "image/jpeg"
+            assert len(r.read()) > 100
+    finally:
+        srv.stop()
