@@ -88,6 +88,11 @@ class GaussianMapper:
         self.kfs_used_times: dict[int, int] = {}
         self._gt_cache: dict[tuple[int, int], jnp.ndarray] = {}
         self._stopped = False
+        self.auto_size_pairs = True
+        self._pairs_high_water = 0
+        from ..utils.observability import PhaseTimer
+
+        self.timer = PhaseTimer()
 
     # ------------------------------------------------------------------ run
     def run(self) -> None:
@@ -219,6 +224,21 @@ class GaussianMapper:
             max_pairs=self.max_pairs,
         )
 
+    def _autosize_pairs(self, observed_total: int) -> None:
+        """Right-size the pair capacity: every binning/blend stage scales
+        with MAX_PAIRS, so an oversized capacity wastes most of the frame
+        (the reference's equivalent knob is the dynamically resized
+        binningBuffer, rasterize_points.cu:28-36). Grows eagerly on
+        overflow-risk, shrinks lazily; power-of-two steps bound recompiles
+        to a handful over a run."""
+        if not self.auto_size_pairs:
+            return
+        self._pairs_high_water = max(self._pairs_high_water, observed_total)
+        need = int(self._pairs_high_water * 1.5) + 1
+        size = 1 << max(14, (need - 1).bit_length())
+        if size > self.max_pairs or size * 4 < self.max_pairs:
+            self.max_pairs = size
+
     def _gt_device(self, kf: Keyframe, level: int, n_levels: int) -> jnp.ndarray:
         key = (kf.fid, level)
         if key not in self._gt_cache:
@@ -254,19 +274,24 @@ class GaussianMapper:
 
         bg = jnp.ones(3) if s.model.white_background else jnp.zeros(3)
         accumulate = self.iteration < s.opt.densify_until_iter
-        self.state, self.adam, metrics = train_step(
-            self.state,
-            self.adam,
-            kf.camera_matrices(s.z_near, s.z_far),
-            gt,
-            mask,
-            bg,
-            jnp.int32(self.iteration),
-            jnp.float32(self.spatial_lr_scale),
-            cfg,
-            s.opt,
-            accumulate_stats=accumulate,
-        )
+        with self.timer.phase("train_step"):
+            self.state, self.adam, metrics = train_step(
+                self.state,
+                self.adam,
+                kf.camera_matrices(s.z_near, s.z_far),
+                gt,
+                mask,
+                bg,
+                jnp.int32(self.iteration),
+                jnp.float32(self.spatial_lr_scale),
+                cfg,
+                s.opt,
+                accumulate_stats=accumulate,
+            )
+        # Sync total_pairs only periodically — a per-step host read would
+        # serialize dispatch against the device.
+        if self.iteration % 50 == 1:
+            self._autosize_pairs(int(metrics.total_pairs))
 
         if self.iteration < s.opt.densify_until_iter:
             if (
