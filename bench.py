@@ -67,20 +67,22 @@ def main():
     gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
     bg = jnp.zeros(3)
 
-    def one(it):
+    def one(s, a, it):
         return train_step(
-            state, adam, cam, gt, None, bg, jnp.int32(it), jnp.float32(1.0), cfg, opt
+            s, a, cam, gt, None, bg, jnp.int32(it), jnp.float32(1.0), cfg, opt
         )
 
-    # warmup/compile
+    # warmup/compile — states CHAIN so every step truly executes (the
+    # runtime elides/overlaps independent repeat calls, inflating rates)
+    s, a = state, adam
     for i in range(WARMUP):
-        s, a, m = one(i + 1)
+        s, a, m = one(s, a, i + 1)
     jax.block_until_ready((s.xyz, a.m["xyz"]))
     pairs = int(m.total_pairs)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
-        s, a, m = one(i + 10)
+        s, a, m = one(s, a, i + 10)
     jax.block_until_ready((s.xyz, a.m["xyz"]))
     dt = time.perf_counter() - t0
     ips = ITERS / dt

@@ -71,8 +71,10 @@ class GaussianState:
         return jnp.exp(self.scaling)
 
     def rotation_act(self) -> jnp.ndarray:
-        n = jnp.linalg.norm(self.rotation, axis=-1, keepdims=True)
-        return self.rotation / jnp.maximum(n, 1e-12)
+        # eps inside the rsqrt: norm's VJP at exactly 0 is NaN even under a
+        # zero cotangent (see ops/sh.py) — keeps dead-slot grads finite.
+        n2 = jnp.sum(self.rotation * self.rotation, axis=-1, keepdims=True)
+        return self.rotation * jax.lax.rsqrt(n2 + 1e-24)
 
     def opacity_act(self) -> jnp.ndarray:
         return jax.nn.sigmoid(self.opacity)

@@ -1,0 +1,352 @@
+"""Grouped-tile Pallas blend kernels (the production TPU fast path).
+
+Generalizes ops/pallas_blend.py from one tile per chunk to G adjacent tiles
+sharing chunk alignment. Why: with 16x16 tiles, room-scale scenes average
+well under CHUNK(=128) pairs per tile, so per-tile alignment made ~40% of
+all packed pair rows padding — and every row-loop-bound XLA gather/scatter
+plus every kernel chunk pays per row. Group alignment cuts padding to
+~CHUNK/2 per GROUP of G tiles.
+
+The kernel keeps G tiles' carries resident as [256, G] panels and turns all
+per-tile segmentation into small MXU contractions against the one-hot
+`onehot[G, C]` of each pair's tile-within-group slot:
+
+  eq[C,C]      = onehot^T onehot          (same-tile pair mask)
+  U_seg        = triu * eq                (segmented cumsum operator)
+  carry_cols   = carry[256,G] @ onehot    (per-pair transmittance carry)
+  per-tile sum = x[256,C] @ onehot^T      (scatter-free accumulation)
+
+Pixel coordinates are tile-LOCAL on the sublane axis (identical 16x16 grid
+for every tile); per-pair means are shifted into local coordinates on the
+lane axis, so pairs of different tiles coexist in one [256, C] panel.
+
+Numerics are identical to ops/blend.py / ops/pallas_blend.py (asserted by
+the parity tests); blend order within a tile is unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blend import ALPHA_MAX, ALPHA_MIN, PIX_PER_TILE, T_EPS
+from .pallas_blend import PACK, _mm, _triu
+from .projection import TILE
+
+LOG_T_EPS = float(np.log(T_EPS))
+F_SLOT = 9  # packed field carrying tile-within-group
+
+
+def _local_xy():
+    j = jax.lax.broadcasted_iota(jnp.int32, (PIX_PER_TILE, 1), 0)
+    return (j % TILE).astype(jnp.float32), (j // TILE).astype(jnp.float32)
+
+
+def _chunk_geom(buf, g_idx, grid_w, group):
+    """Per-(pair, local-pixel) alpha for one [16, CHUNK] block."""
+    jx, jy = _local_xy()
+    slot = buf[F_SLOT : F_SLOT + 1, :].astype(jnp.int32)  # [1, C]
+    tile = g_idx * group + slot
+    tox = (tile % grid_w).astype(jnp.float32) * TILE
+    toy = (tile // grid_w).astype(jnp.float32) * TILE
+    x = buf[0:1, :] - tox  # tile-local mean
+    y = buf[1:2, :] - toy
+    a = buf[2:3, :]
+    b = buf[3:4, :]
+    c = buf[4:5, :]
+    op = buf[5:6, :]
+    dx = x - jx  # [256, C]
+    dy = y - jy
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+    g_exp = jnp.exp(power)
+    alpha_raw = jnp.minimum(ALPHA_MAX, op * g_exp)
+    live = (power <= 0.0) & (alpha_raw >= ALPHA_MIN)
+    alpha = jnp.where(live, alpha_raw, 0.0)
+    return alpha, g_exp, dx, dy, (a, b, c, op), slot
+
+
+def _onehot(slot, group, chunk):
+    gi = jax.lax.broadcasted_iota(jnp.int32, (group, chunk), 0)
+    return (gi == slot).astype(jnp.float32)  # [G, C]
+
+
+# ---------------------------------------------------------------------- fwd
+def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
+                buf_ref, sem, *, grid_w, chunk, group):
+    g_idx = pl.program_id(0)
+    start = ranges_ref[0, g_idx]
+    n = ranges_ref[1, g_idx]
+    n_chunks = pl.cdiv(n, chunk)
+    triu = _triu(chunk)
+
+    def cond(carry):
+        c_idx, log_raw, _, _ = carry
+        return jnp.logical_and(c_idx < n_chunks, jnp.max(log_raw) >= LOG_T_EPS)
+
+    def body(carry):
+        c_idx, log_raw, log_eff, acc = carry  # [256,G], [256,G], [256,G,3]
+        off = pl.multiple_of(start + c_idx * chunk, chunk)
+        dma = pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(off, chunk)], buf_ref, sem)
+        dma.start()
+        dma.wait()
+        buf = buf_ref[:]
+        alpha, _, _, _, _, slot = _chunk_geom(buf, g_idx, grid_w, group)
+        oh = _onehot(slot, group, chunk)  # [G, C]
+        eq = _mm(oh, oh, (((0,), (0,)),)[0])  # [C, C]
+        useg = triu * eq
+        log1m = jnp.log1p(-alpha)
+        incl = _mm(log1m, useg, (((1,), (0,)),)[0])  # [256, C]
+        carry_cols = _mm(log_raw, oh, (((1,), (0,)),)[0])  # [256, C]
+        t_incl = jnp.exp(carry_cols + incl)
+        applied = (t_incl >= T_EPS).astype(jnp.float32)
+        t_excl = jnp.exp(carry_cols + (incl - log1m))
+        w = alpha * t_excl * applied
+        col = buf[6:9, :]  # [3, C]
+        adds = [
+            _mm(w * col[ch : ch + 1, :], oh, (((1,), (1,)),)[0])[:, :, None]
+            for ch in range(3)
+        ]
+        acc = acc + jnp.concatenate(adds, axis=2)  # [256, G, 3]
+        log_raw = log_raw + _mm(log1m, oh, (((1,), (1,)),)[0])
+        log_eff = log_eff + _mm(log1m * applied, oh, (((1,), (1,)),)[0])
+        return c_idx + 1, log_raw, log_eff, acc
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((PIX_PER_TILE, group), jnp.float32),
+        jnp.zeros((PIX_PER_TILE, group), jnp.float32),
+        jnp.zeros((PIX_PER_TILE, group, 3), jnp.float32),
+    )
+    _, log_raw, log_eff, acc = jax.lax.while_loop(cond, body, init)
+    accum_ref[0] = acc
+    teff_ref[0] = log_eff
+    traw_ref[0] = log_raw
+
+
+def _run_fwd(ranges, pairs, ng, grid_w, chunk, group):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
+            pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PACK, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, grid_w=grid_w, chunk=chunk, group=group),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group, 3), jnp.float32),
+            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
+            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
+        ],
+    )(ranges, pairs)
+
+
+# ---------------------------------------------------------------------- bwd
+def _bwd_kernel(ranges_ref, pairs_hbm, traw_ref, ct_acc_ref, ct_teff_ref,
+                grads_hbm, done_ref, buf_ref, gbuf_ref, in_sem, out_sem,
+                *, grid_w, chunk, group):
+    g_idx = pl.program_id(0)
+    start = ranges_ref[0, g_idx]
+    n = ranges_ref[1, g_idx]
+    n_chunks = pl.cdiv(n, chunk)
+    triu = _triu(chunk)
+    ct_acc = ct_acc_ref[0]  # [256, G, 3]
+    ct_eff = ct_teff_ref[0]  # [256, G]
+
+    def body(i, carry):
+        c_idx = n_chunks - 1 - i
+        log_end, suffix = carry  # [256, G] each
+        off = pl.multiple_of(start + c_idx * chunk, chunk)
+        dma = pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(off, chunk)], buf_ref, in_sem)
+        dma.start()
+        dma.wait()
+        buf = buf_ref[:]
+        alpha, g_exp, dx, dy, (a, b, c, op), slot = _chunk_geom(
+            buf, g_idx, grid_w, group
+        )
+        oh = _onehot(slot, group, chunk)
+        eq = _mm(oh, oh, (((0,), (0,)),)[0])
+        useg = triu * eq
+        log1m = jnp.log1p(-alpha)
+        log_start = log_end - _mm(log1m, oh, (((1,), (1,)),)[0])
+        incl = _mm(log1m, useg, (((1,), (0,)),)[0])
+        carry_cols = _mm(log_start, oh, (((1,), (0,)),)[0])
+        t_incl = jnp.exp(carry_cols + incl)
+        applied = jnp.where((t_incl >= T_EPS) & (alpha > 0.0), 1.0, 0.0)
+        t_excl = jnp.exp(carry_cols + (incl - log1m))
+        w = alpha * t_excl * applied
+
+        col = buf[6:9, :]  # [3, C]
+        # per-pair pixel cotangent of ITS tile, per channel
+        ct_cols = [
+            _mm(ct_acc[:, :, ch], oh, (((1,), (0,)),)[0]) for ch in range(3)
+        ]  # 3 x [256, C]
+        dot_c = (
+            col[0:1, :] * ct_cols[0]
+            + col[1:2, :] * ct_cols[1]
+            + col[2:3, :] * ct_cols[2]
+        )
+        wc = w * dot_c
+        per_tile_wc = _mm(wc, oh, (((1,), (1,)),)[0])  # [256, G]
+        seg_total_cols = _mm(per_tile_wc, oh, (((1,), (0,)),)[0])  # [256, C]
+        incl_wc = _mm(wc, useg, (((1,), (0,)),)[0])
+        sfx = (seg_total_cols - incl_wc) + _mm(suffix, oh, (((1,), (0,)),)[0])
+
+        inv1m = 1.0 / (1.0 - alpha)
+        ct_eff_cols = _mm(ct_eff, oh, (((1,), (0,)),)[0])
+        dl_dalpha = applied * (t_excl * dot_c - (sfx + ct_eff_cols) * inv1m)
+        dl_dg = op * dl_dalpha
+        gdx = g_exp * dx
+        gdy = g_exp * dy
+        d_mx = jnp.sum(dl_dg * (-gdx * a - gdy * b), axis=0, keepdims=True)
+        d_my = jnp.sum(dl_dg * (-gdy * c - gdx * b), axis=0, keepdims=True)
+        d_a = jnp.sum(dl_dg * (-0.5 * g_exp * dx * dx), axis=0, keepdims=True)
+        d_b = jnp.sum(dl_dg * (-g_exp * dx * dy), axis=0, keepdims=True)
+        d_c = jnp.sum(dl_dg * (-0.5 * g_exp * dy * dy), axis=0, keepdims=True)
+        d_op = jnp.sum(g_exp * dl_dalpha, axis=0, keepdims=True)
+        d_col = jnp.concatenate(
+            [jnp.sum(w * ct_cols[ch], axis=0, keepdims=True) for ch in range(3)],
+            axis=0,
+        )  # [3, C]
+        zeros7 = jnp.zeros((PACK - 9, chunk), jnp.float32)
+        gbuf_ref[:] = jnp.concatenate(
+            [d_mx, d_my, d_a, d_b, d_c, d_op, d_col, zeros7], axis=0
+        )
+        out = pltpu.make_async_copy(gbuf_ref, grads_hbm.at[:, pl.ds(off, chunk)], out_sem)
+        out.start()
+        out.wait()
+        return log_start, suffix + per_tile_wc
+
+    init = (traw_ref[0], ct_eff * 0.0)
+    jax.lax.fori_loop(0, n_chunks, body, init)
+    done_ref[0] = jnp.ones((1, 1), jnp.int32)
+
+
+def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, group):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
+            pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 1, 1), lambda i, r: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PACK, chunk), jnp.float32),
+            pltpu.VMEM((PACK, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    grads, _ = pl.pallas_call(
+        functools.partial(_bwd_kernel, grid_w=grid_w, chunk=chunk, group=group),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((PACK, mpa), jnp.float32),
+            jax.ShapeDtypeStruct((ng, 1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ranges, pairs, traw, ct_accum, ct_teff)
+    return grads
+
+
+# ------------------------------------------------------------------ wrapper
+def pack_pairs_grouped(pair_gauss, pair_slot, means2d, conics, opacities, colors):
+    """[16, MPA] packed fields; field 9 carries tile-within-group."""
+    p = means2d.shape[0]
+    table = jnp.concatenate(
+        [
+            means2d,
+            conics,
+            opacities[:, None],
+            colors,
+            jnp.zeros((p, PACK - 9), jnp.float32),
+        ],
+        axis=1,
+    )
+    table = jnp.concatenate([table, jnp.zeros((1, PACK), jnp.float32)], axis=0)
+    rows = table[pair_gauss]
+    rows = rows.at[:, F_SLOT].set(pair_slot.astype(jnp.float32))
+    return rows.T  # [16, MPA]
+
+
+@functools.lru_cache(maxsize=32)
+def _make_grouped_blend(grid_w: int, grid_h: int, chunk: int, group: int, mpa: int):
+    num_tiles = grid_w * grid_h
+    ng = (num_tiles + group - 1) // group
+
+    def _to_tiles(accum, teff):
+        # [NG, 256, G, ...] -> [NG*G, 256, ...] cropped to num_tiles
+        acc = accum.transpose(0, 2, 1, 3).reshape(ng * group, PIX_PER_TILE, 3)
+        te = teff.transpose(0, 2, 1).reshape(ng * group, PIX_PER_TILE)
+        return acc[:num_tiles], te[:num_tiles]
+
+    @jax.custom_vjp
+    def blend(ranges, pair_gauss, pair_slot, means2d, conics, opacities, colors):
+        pairs = pack_pairs_grouped(pair_gauss, pair_slot, means2d, conics, opacities, colors)
+        accum, teff, _ = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
+        return _to_tiles(accum, teff)
+
+    def fwd(ranges, pair_gauss, pair_slot, means2d, conics, opacities, colors):
+        pairs = pack_pairs_grouped(pair_gauss, pair_slot, means2d, conics, opacities, colors)
+        accum, teff, traw = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
+        out = _to_tiles(accum, teff)
+        return out, (ranges, pair_gauss, pairs, traw, means2d.shape[0])
+
+    def bwd(res, cts):
+        ranges, pair_gauss, pairs, traw, p = res
+        ct_accum_t, ct_teff_t = cts  # [num_tiles, 256, 3], [num_tiles, 256]
+        pad = ng * group - num_tiles
+        ct_acc = jnp.pad(ct_accum_t, ((0, pad), (0, 0), (0, 0)))
+        ct_acc = ct_acc.reshape(ng, group, PIX_PER_TILE, 3).transpose(0, 2, 1, 3)
+        ct_te = jnp.pad(ct_teff_t, ((0, pad), (0, 0)))
+        ct_te = ct_te.reshape(ng, group, PIX_PER_TILE).transpose(0, 2, 1)
+        pair_grads = _run_bwd(
+            ranges, pairs, traw, ct_acc, ct_te, pairs.shape[1], ng, grid_w, chunk, group
+        )
+        acc = jnp.zeros((p + 1, PACK), jnp.float32).at[pair_gauss].add(pair_grads.T)[:p]
+        zi = np.zeros(ranges.shape, dtype=jax.dtypes.float0)
+        zg = np.zeros(pair_gauss.shape, dtype=jax.dtypes.float0)
+        return (zi, zg, zg, acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9])
+
+    blend.defvjp(fwd, bwd)
+    return blend
+
+
+def blend_tiles_grouped(
+    ranges: jnp.ndarray,  # [2, num_groups] int32
+    pair_gauss: jnp.ndarray,  # [MPA] int32, sentinel = P
+    pair_slot: jnp.ndarray,  # [MPA] int32 in [0, group)
+    means2d: jnp.ndarray,
+    conics: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    *,
+    grid_w: int,
+    grid_h: int,
+    chunk: int = 128,
+    group: int = 8,
+):
+    assert chunk % 128 == 0
+    assert group in (1, 8, 16, 32), "group must be 1 or a multiple of 8 (block tiling)"
+    return _make_grouped_blend(grid_w, grid_h, chunk, group, pair_gauss.shape[0])(
+        ranges, pair_gauss, pair_slot, means2d, conics, opacities, colors
+    )

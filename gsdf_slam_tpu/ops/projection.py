@@ -74,7 +74,13 @@ def compute_cov2d(
     # Written elementwise, NOT as a matmul: tiny [P,3]x[3,3] dots would hit
     # the MXU's default (bf16) precision and wreck sub-pixel accuracy.
     t = _affine3(means3d, cam.view)
-    tz = t[:, 2]
+    # Guard |tz|: culled/dead slots can sit near tz == 0, and 1/tz infs
+    # poison their (otherwise zero) gradients via 0*inf = NaN. Visible
+    # gaussians always have tz > 0.2 (frustum cull), so clamping the
+    # magnitude to 0.1 changes nothing for them while keeping every
+    # jacobian finite for culled slots.
+    tz_raw = t[:, 2]
+    tz = jnp.where(jnp.abs(tz_raw) < 0.1, 0.1, tz_raw)
     limx = 1.3 * cam.tanfovx
     limy = 1.3 * cam.tanfovy
     tx = jnp.clip(t[:, 0] / tz, -limx, limx) * tz

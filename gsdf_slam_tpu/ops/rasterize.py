@@ -44,6 +44,7 @@ class RasterizeConfig:
     scale_modifier: float = 1.0
     backend: str = "auto"  # "auto" | "xla" | "pallas"
     pallas_chunk: int = 128  # lanes; must be a multiple of 128
+    pallas_group: int = 8  # tiles per aligned group (1 = per-tile kernels)
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -111,7 +112,28 @@ def render(
         jax.lax.stop_gradient(pre), jax.lax.stop_gradient(opacities),
         grid_w=gw, grid_h=gh, max_pairs=cfg.max_pairs,
     )
-    if cfg.use_pallas():
+    if cfg.use_pallas() and cfg.pallas_group > 1:
+        from .binning import align_pairs_grouped
+        from .pallas_blend_grouped import blend_tiles_grouped
+
+        aligned = align_pairs_grouped(
+            binned, means3d.shape[0], num_tiles=gw * gh,
+            chunk=cfg.pallas_chunk, group=cfg.pallas_group,
+        )
+        accum, log_t_eff = blend_tiles_grouped(
+            aligned.ranges,
+            aligned.pair_gauss,
+            aligned.pair_slot,
+            pre.means2d,
+            pre.conics,
+            opacities,
+            pre.colors,
+            grid_w=gw,
+            grid_h=gh,
+            chunk=cfg.pallas_chunk,
+            group=cfg.pallas_group,
+        )
+    elif cfg.use_pallas():
         from .binning import align_pairs
         from .pallas_blend import blend_tiles_pallas
 

@@ -16,6 +16,7 @@ XLA op, MXU-friendly when N is large.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
@@ -112,7 +113,10 @@ def eval_sh_color(
       [N, 3] RGB in [0, inf) clamped at 0 after the +0.5 offset.
     """
     d = means - campos[None, :]
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # eps INSIDE the sqrt: dead capacity slots sit at the camera origin and
+    # jnp.linalg.norm's VJP at exactly 0 is 0/0 — the NaN survives any
+    # outer clamp (0 * NaN) and poisons the dead slots' xyz gradients.
+    d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-24)
     basis = sh_basis(d, degree)  # [N, K]
     coeffs = jnp.concatenate([dc, sh_rest], axis=1)  # [N, 16, 3]
     k = basis.shape[-1]

@@ -21,10 +21,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_pallas_matches_xla_forward_and_grad():
+@pytest.mark.parametrize("group", [1, 8])
+def test_pallas_matches_xla_forward_and_grad(group):
     scene = make_scene(p=96, seed=1)
     cfg_x = RasterizeConfig(height=64, width=64, max_pairs=4096, chunk=128, backend="xla")
-    cfg_p = dataclasses.replace(cfg_x, backend="pallas")
+    cfg_p = dataclasses.replace(cfg_x, backend="pallas", pallas_group=group)
     ox = jax.jit(render, static_argnums=(9,))(*scene, cfg_x)
     op = jax.jit(render, static_argnums=(9,))(*scene, cfg_p)
     np.testing.assert_allclose(ox.image, op.image, atol=5e-6)
