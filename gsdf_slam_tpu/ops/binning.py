@@ -195,10 +195,12 @@ def align_pairs_grouped(
     pt = binned.pair_tile
     mp = pt.shape[0]
     ng = (num_tiles + group - 1) // group
-    tiles = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_starts = jnp.searchsorted(pt, tiles, side="left").astype(jnp.int32)
-    tile_ends = jnp.searchsorted(pt, tiles, side="right").astype(jnp.int32)
-    tile_counts = tile_ends - tile_starts
+    # one searchsorted over T+1 boundaries: left(t+1) == right(t)
+    bounds = jnp.searchsorted(
+        pt, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_starts = bounds[:num_tiles]
+    tile_counts = bounds[1:] - bounds[:num_tiles]
     padded = jnp.zeros((ng * group,), jnp.int32).at[:num_tiles].set(tile_counts)
     gcounts = padded.reshape(ng, group).sum(axis=1)
     gsizes = (gcounts + chunk - 1) // chunk * chunk

@@ -77,7 +77,7 @@ def _onehot(slot, group, chunk):
 
 # ---------------------------------------------------------------------- fwd
 def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
-                buf_ref, sem, *, grid_w, chunk, group):
+                ndone_ref, buf_ref, sem, *, grid_w, chunk, group):
     g_idx = pl.program_id(0)
     start = ranges_ref[0, g_idx]
     n = ranges_ref[1, g_idx]
@@ -122,10 +122,11 @@ def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
         jnp.zeros((PIX_PER_TILE, group), jnp.float32),
         jnp.zeros((PIX_PER_TILE, group, 3), jnp.float32),
     )
-    _, log_raw, log_eff, acc = jax.lax.while_loop(cond, body, init)
+    c_done, log_raw, log_eff, acc = jax.lax.while_loop(cond, body, init)
     accum_ref[0] = acc
     teff_ref[0] = log_eff
     traw_ref[0] = log_raw
+    ndone_ref[0] = jnp.full((1, 1), c_done, jnp.int32)
 
 
 def _run_fwd(ranges, pairs, ng, grid_w, chunk, group):
@@ -137,6 +138,7 @@ def _run_fwd(ranges, pairs, ng, grid_w, chunk, group):
             pl.BlockSpec((1, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, r: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((PACK, chunk), jnp.float32),
@@ -150,18 +152,21 @@ def _run_fwd(ranges, pairs, ng, grid_w, chunk, group):
             jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group, 3), jnp.float32),
             jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
             jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
+            jax.ShapeDtypeStruct((ng, 1, 1), jnp.int32),
         ],
     )(ranges, pairs)
 
 
 # ---------------------------------------------------------------------- bwd
 def _bwd_kernel(ranges_ref, pairs_hbm, traw_ref, ct_acc_ref, ct_teff_ref,
-                grads_hbm, done_ref, buf_ref, gbuf_ref, in_sem, out_sem,
-                *, grid_w, chunk, group):
+                zeros_hbm, grads_hbm, done_ref, buf_ref, gbuf_ref, in_sem,
+                out_sem, *, grid_w, chunk, group):
     g_idx = pl.program_id(0)
     start = ranges_ref[0, g_idx]
-    n = ranges_ref[1, g_idx]
-    n_chunks = pl.cdiv(n, chunk)
+    # row 2 carries the forward's early-termination chunk count: pairs in
+    # later chunks were never applied, so their gradients are zero — the
+    # grads buffer is zero-initialized through input/output aliasing.
+    n_chunks = ranges_ref[2, g_idx]
     triu = _triu(chunk)
     ct_acc = ct_acc_ref[0]  # [256, G, 3]
     ct_eff = ct_teff_ref[0]  # [256, G]
@@ -236,6 +241,7 @@ def _bwd_kernel(ranges_ref, pairs_hbm, traw_ref, ct_acc_ref, ct_teff_ref,
 
 
 def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, group):
+    zeros_grads = jnp.zeros((PACK, mpa), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng,),
@@ -244,6 +250,7 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, gro
             pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -263,8 +270,11 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, gro
             jax.ShapeDtypeStruct((PACK, mpa), jnp.float32),
             jax.ShapeDtypeStruct((ng, 1, 1), jnp.int32),
         ],
+        # input 5 (zeros, after the scalar-prefetch operand) -> output 0:
+        # unvisited chunk regions must read as zero gradients
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, pairs, traw, ct_accum, ct_teff)
+    )(ranges, pairs, traw, ct_accum, ct_teff, zeros_grads)
     return grads
 
 
@@ -302,14 +312,15 @@ def _make_grouped_blend(grid_w: int, grid_h: int, chunk: int, group: int, mpa: i
     @jax.custom_vjp
     def blend(ranges, pair_gauss, pair_slot, means2d, conics, opacities, colors):
         pairs = pack_pairs_grouped(pair_gauss, pair_slot, means2d, conics, opacities, colors)
-        accum, teff, _ = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
+        accum, teff, _, _ = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
         return _to_tiles(accum, teff)
 
     def fwd(ranges, pair_gauss, pair_slot, means2d, conics, opacities, colors):
         pairs = pack_pairs_grouped(pair_gauss, pair_slot, means2d, conics, opacities, colors)
-        accum, teff, traw = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
+        accum, teff, traw, ndone = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
         out = _to_tiles(accum, teff)
-        return out, (ranges, pair_gauss, pairs, traw, means2d.shape[0])
+        ranges3 = jnp.concatenate([ranges, ndone[:, 0, 0][None, :]], axis=0)
+        return out, (ranges3, pair_gauss, pairs, traw, means2d.shape[0])
 
     def bwd(res, cts):
         ranges, pair_gauss, pairs, traw, p = res
