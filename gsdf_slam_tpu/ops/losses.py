@@ -71,6 +71,14 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return 10.0 * jnp.log10(1.0 / mse)
 
 
+def psnr_gaussian_splatting(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-leading-dim PSNR then mean, 20*log10(1/sqrt(mse))
+    (loss_utils.h:43-47)."""
+    d = (a - b).reshape(a.shape[0], -1)
+    mse = jnp.mean(d * d, axis=1)
+    return jnp.mean(20.0 * jnp.log10(1.0 / jnp.sqrt(mse)))
+
+
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM map, exactly as loss_utils.h:76-124."""
     mu1 = _filter(img1, window_size)

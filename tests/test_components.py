@@ -165,3 +165,37 @@ def test_viewer_endpoints():
             assert len(r.read()) > 100
     finally:
         srv.stop()
+
+
+def test_align_pairs_grouped_layout():
+    import jax.numpy as jnp
+
+    from gsdf_slam_tpu.ops.binning import Binned, align_pairs_grouped
+
+    # 5 tiles, group=4, chunk=4: pairs sorted by tile
+    pt = jnp.asarray(np.array([0, 0, 1, 2, 2, 2, 4, 4, 7, 7, 7, 7], np.int32))
+    pg = jnp.arange(12, dtype=jnp.int32)
+    b = Binned(pair_tile=pt, pair_gauss=pg, total_pairs=jnp.int32(12))
+    al = align_pairs_grouped(b, num_gaussians=100, num_tiles=8, chunk=4, group=4)
+    r = np.asarray(al.ranges)
+    # group 0 = tiles 0..3: 6 pairs -> aligned 8; group 1 = tiles 4..7: 6 pairs
+    assert r[1, 0] == 6 and r[1, 1] == 6
+    assert r[0, 0] == 0 and r[0, 1] == 8
+    ag = np.asarray(al.pair_gauss)
+    asl = np.asarray(al.pair_slot)
+    np.testing.assert_array_equal(ag[:6], np.arange(6))
+    assert np.all(ag[6:8] == 100)  # sentinel padding inside group 0
+    np.testing.assert_array_equal(ag[8:14], np.arange(6, 12))
+    np.testing.assert_array_equal(asl[:6], [0, 0, 1, 2, 2, 2])
+    np.testing.assert_array_equal(asl[8:14], [0, 0, 3, 3, 3, 3])
+
+
+def test_psnr_gaussian_splatting():
+    from gsdf_slam_tpu.ops.losses import psnr_gaussian_splatting
+
+    rng = np.random.default_rng(9)
+    a = rng.uniform(0, 1, (3, 8, 8)).astype(np.float32)
+    b = rng.uniform(0, 1, (3, 8, 8)).astype(np.float32)
+    mse = ((a - b).reshape(3, -1) ** 2).mean(1)
+    want = (20 * np.log10(1 / np.sqrt(mse))).mean()
+    assert abs(float(psnr_gaussian_splatting(a, b)) - want) < 1e-4
