@@ -84,6 +84,7 @@ def main():
     for i in range(ITERS):
         s, a, m = one(s, a, i + 10)
     jax.block_until_ready((s.xyz, a.m["xyz"]))
+    float(m.loss)  # hard barrier: block_until_ready is flaky over the relay
     dt = time.perf_counter() - t0
     ips = ITERS / dt
 
