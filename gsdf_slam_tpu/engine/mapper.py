@@ -327,8 +327,15 @@ class GaussianMapper:
         ):
             print(
                 f"[mapper] iter {self.iteration}: ema_loss {self.ema_loss:.5f} "
-                f"points {int(metrics.count)} pairs {int(metrics.total_pairs)}"
+                f"points {int(metrics.count)} pairs {int(metrics.total_pairs)} "
+                f"[{self.timer.report()}]"
             )
+        if (
+            self.result_dir
+            and s.keyframe_record_interval
+            and self.iteration % s.keyframe_record_interval == 0
+        ):
+            self._record_keyframe_images(kf)
         return {
             "loss": loss,
             "psnr": float(metrics.psnr),
@@ -548,6 +555,24 @@ class GaussianMapper:
         )
         self._write_keyframe_used_times(base)
         return it_dir / "point_cloud.ply"
+
+    def _record_keyframe_images(self, kf: Keyframe) -> None:
+        """Record.keyframe_record_interval behavior (gaussian_mapper.cpp:
+        keyframe image recording): rendered + gt images per interval."""
+        import cv2
+
+        out = Path(self.result_dir) / "record"
+        out.mkdir(parents=True, exist_ok=True)
+        img = self.render_from_pose(
+            kf.t_cw, kf.camera.width, kf.camera.height, kf.camera.fovx, kf.camera.fovy
+        )
+        for name, arr in (("rendered", img), ("gt", kf.image)):
+            cv2.imwrite(
+                str(out / f"iter{self.iteration}_kf{kf.fid}_{name}.png"),
+                cv2.cvtColor(
+                    (np.clip(arr, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+                ),
+            )
 
     def _write_keyframe_used_times(self, base: Path) -> None:
         """keyframe_used_times log (:757-775)."""

@@ -88,8 +88,9 @@ def _triu(chunk):
 
 
 def _mm(a, b, dims):
-    # HIGHEST: full-f32 MXU passes. Default would round operands to bf16 —
-    # ~0.4% transmittance error, far outside parity tolerance.
+    # HIGHEST (bf16x6 passes, full f32): default MXU precision rounds
+    # operands to bf16 (~0.4% transmittance error); HIGH (bf16x3) was
+    # measured at the same speed here, so keep the exact form.
     return jax.lax.dot_general(
         a, b, (dims, ((), ())),
         preferred_element_type=jnp.float32,
