@@ -90,6 +90,10 @@ class GaussianMapper:
         self._stopped = False
         self.auto_size_pairs = True
         self._pairs_high_water = 0
+        # setShDegree/oneUpShDegree (gaussian_model.cpp:103-112). The
+        # reference's run() forces the max degree every iteration
+        # (gaussian_mapper.cpp:375); None means "max" here too.
+        self.active_sh_degree: int | None = None
         from ..utils.observability import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -287,6 +291,11 @@ class GaussianMapper:
                 cfg,
                 s.opt,
                 accumulate_stats=accumulate,
+                active_sh_degree=(
+                    None
+                    if self.active_sh_degree is None
+                    else jnp.int32(self.active_sh_degree)
+                ),
             )
         # Sync total_pairs only periodically — a per-step host read would
         # serialize dispatch against the device.
@@ -493,6 +502,20 @@ class GaussianMapper:
         self.spatial_lr_scale = float(z["spatial_lr_scale"])
         self.scene.cameras_extent = float(z["cameras_extent"])
         self.initial_mapped = True
+
+    def set_sh_degree(self, degree: int | None) -> None:
+        """setShDegree (gaussian_model.cpp:109-112); None = max degree."""
+        if degree is not None:
+            degree = min(degree, self.settings.model.sh_degree)
+        self.active_sh_degree = degree
+
+    def one_up_sh_degree(self) -> None:
+        """oneUpShDegree (gaussian_model.cpp:103-107): the classic 3DGS
+        1000-iteration SH ramp step. Traced, so ramping never recompiles."""
+        cur = self.active_sh_degree
+        if cur is None:
+            return
+        self.active_sh_degree = min(cur + 1, self.settings.model.sh_degree)
 
     # ------------------------------------------------------------ rendering
     def render_from_pose(

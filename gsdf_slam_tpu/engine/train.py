@@ -38,6 +38,7 @@ def render_state(
     bg: jnp.ndarray,
     cfg: RasterizeConfig,
     means2d_offset: jnp.ndarray | None = None,
+    active_sh_degree: jnp.ndarray | None = None,
 ) -> RenderOutput:
     """GaussianRenderer::render (gaussian_renderer.cpp:23-141): activations +
     rasterizer call. separate_sh dc/rest path is the only one implemented —
@@ -54,6 +55,7 @@ def render_state(
         bg,
         cfg,
         means2d_offset=means2d_offset,
+        active_sh_degree=active_sh_degree,
     )
 
 
@@ -73,6 +75,7 @@ def train_step(
     opt: OptimizationParams,
     accumulate_stats: bool = True,
     lr_overrides: dict[str, Any] | None = None,
+    active_sh_degree: jnp.ndarray | None = None,
 ) -> tuple[GaussianState, AdamState, StepMetrics]:
     """One optimization iteration (trainForOneIteration :335-468).
 
@@ -82,7 +85,10 @@ def train_step(
 
     def loss_fn(params, m2d_offset):
         st = state.with_params(params)
-        out = render_state(st, cam, bg, cfg, means2d_offset=m2d_offset)
+        out = render_state(
+            st, cam, bg, cfg, means2d_offset=m2d_offset,
+            active_sh_degree=active_sh_degree,
+        )
         loss = mapper_loss(out.image, gt_image, mask, opt.lambda_dssim)
         return loss, out
 

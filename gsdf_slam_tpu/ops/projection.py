@@ -131,6 +131,7 @@ def preprocess(
     means2d_offset: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     cov3d_precomp: jnp.ndarray | None = None,
+    active_sh_degree: jnp.ndarray | None = None,
 ) -> Preprocessed:
     """Vectorized preprocess over the full (padded) Gaussian buffer.
 
@@ -204,7 +205,9 @@ def preprocess(
     valid = jnp.logical_and(valid, area > 0)
 
     if colors_precomp is None:
-        colors = eval_sh_color(dc, sh_rest, means3d, cam.campos, sh_degree)
+        colors = eval_sh_color(
+            dc, sh_rest, means3d, cam.campos, sh_degree, active_sh_degree
+        )
     else:
         colors = colors_precomp
 

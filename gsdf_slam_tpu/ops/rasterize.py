@@ -78,6 +78,7 @@ def render(
     cfg: RasterizeConfig,
     means2d_offset: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
+    active_sh_degree: jnp.ndarray | None = None,
 ) -> RenderOutput:
     """Render one view. All per-Gaussian inputs are capacity-padded [P, ...].
 
@@ -107,6 +108,7 @@ def render(
         scale_modifier=cfg.scale_modifier,
         means2d_offset=means2d_offset,
         colors_precomp=colors_precomp,
+        active_sh_degree=active_sh_degree,
     )
     binned = bin_gaussians(
         jax.lax.stop_gradient(pre), jax.lax.stop_gradient(opacities),
@@ -170,6 +172,15 @@ def render(
     return RenderOutput(
         image=image, final_t=final_t, radii=pre.radii, total_pairs=binned.total_pairs
     )
+
+
+def mark_visible(means3d: jnp.ndarray, cam: CameraMatrices) -> jnp.ndarray:
+    """Frustum visibility without rendering — GaussianRasterizer::
+    markVisibleGaussians (gaussian_rasterizer.cpp:18-26, checkFrustum
+    rasterizer_impl.cu): camera-space z > 0.2."""
+    v = cam.view
+    z = v[2, 0] * means3d[:, 0] + v[2, 1] * means3d[:, 1] + v[2, 2] * means3d[:, 2] + v[2, 3]
+    return z > 0.2
 
 
 def render_dense_reference(

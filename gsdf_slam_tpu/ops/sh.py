@@ -99,6 +99,7 @@ def eval_sh_color(
     means: jnp.ndarray,
     campos: jnp.ndarray,
     degree: int,
+    active_degree: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """SH -> clamped RGB, matching forward.cu:32-101 exactly.
 
@@ -118,8 +119,16 @@ def eval_sh_color(
     # outer clamp (0 * NaN) and poisons the dead slots' xyz gradients.
     d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-24)
     basis = sh_basis(d, degree)  # [N, K]
-    coeffs = jnp.concatenate([dc, sh_rest], axis=1)  # [N, 16, 3]
     k = basis.shape[-1]
+    if active_degree is not None:
+        # Traced SH-degree ramp (setShDegree/oneUpShDegree,
+        # gaussian_model.cpp:103-112): zero the bands above the active
+        # degree so the ramp never recompiles. Band of coeff j is
+        # floor(sqrt(j)).
+        j = jnp.arange(k)
+        band = jnp.floor(jnp.sqrt(j.astype(jnp.float32))).astype(jnp.int32)
+        basis = jnp.where(band[None, :] <= active_degree, basis, 0.0)
+    coeffs = jnp.concatenate([dc, sh_rest], axis=1)  # [N, 16, 3]
     # broadcast-multiply-reduce on the VPU: a batched [16]x[16,3] einsum
     # lowers to per-point micro-matmuls, ~100x slower on TPU.
     rgb = jnp.sum(basis[:, :, None] * coeffs[:, :k, :], axis=1) + 0.5

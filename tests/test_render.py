@@ -158,3 +158,17 @@ def test_grad_finite_difference(argi):
         assert abs(fd - an) < 2e-2 * max(1.0, abs(fd), abs(an)), (
             f"param {argi} idx {idx}: fd={fd} vs an={an}"
         )
+
+
+def test_traced_sh_degree_ramp():
+    """active_sh_degree (traced setShDegree) must equal a static-degree
+    render: degree-0 masking == compiling with sh_degree=0."""
+    scene = make_scene(p=32, seed=7)
+    cfg3 = RasterizeConfig(height=32, width=32, max_pairs=1024, chunk=64)
+    cfg0 = RasterizeConfig(height=32, width=32, sh_degree=0, max_pairs=1024, chunk=64)
+    ramped = render(*scene, cfg3, active_sh_degree=jnp.int32(0))
+    static0 = render(*scene, cfg0)
+    np.testing.assert_allclose(ramped.image, static0.image, atol=1e-6)
+    full = render(*scene, cfg3, active_sh_degree=jnp.int32(3))
+    plain = render(*scene, cfg3)
+    np.testing.assert_allclose(full.image, plain.image, atol=1e-6)
