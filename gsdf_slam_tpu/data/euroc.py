@@ -133,8 +133,8 @@ class EurocParser:
         d0 = np.array(c0["D"])
         d1 = np.array(c1["D"])
         size = (752, 480)
-        r = self.T_c1_c0[:3, :3]
-        t = self.T_c1_c0[:3, 3]
+        r = np.ascontiguousarray(self.T_c1_c0[:3, :3], dtype=np.float64)
+        t = np.ascontiguousarray(self.T_c1_c0[:3, 3], dtype=np.float64).reshape(3, 1)
         r1, r2, p1, p2, q, _, _ = cv2.stereoRectify(
             k0, d0, k1, d1, size, r, t, flags=cv2.CALIB_ZERO_DISPARITY, alpha=0
         )
