@@ -23,6 +23,18 @@ def _lib():
     _SEARCHED = True
     so = Path(__file__).resolve().parent.parent.parent / "native" / "libgsdf_io.so"
     if not so.exists():
+        # The .so is not committed (platform-specific binary); build it on
+        # demand from the checked-in source. Falls back to pure Python.
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", str(so.parent)],
+                capture_output=True, timeout=60, check=False,
+            )
+        except (OSError, subprocess.TimeoutExpired):
+            pass
+    if not so.exists():
         return None
     try:
         lib = ctypes.CDLL(str(so))

@@ -51,7 +51,7 @@ from ..ops.transforms import CameraMatrices
 from .keyframe import Camera, Keyframe, rot_to_quat_wxyz
 from .scene import Scene
 from .settings import MapperSettings
-from .train import render_state, train_step
+from .train import LiveOptValues, render_state, train_step
 
 
 class GaussianMapper:
@@ -278,29 +278,61 @@ class GaussianMapper:
 
         bg = jnp.ones(3) if s.model.white_background else jnp.zeros(3)
         accumulate = self.iteration < s.opt.densify_until_iter
-        with self.timer.phase("train_step"):
-            self.state, self.adam, metrics = train_step(
-                self.state,
-                self.adam,
-                kf.camera_matrices(s.z_near, s.z_far),
-                gt,
-                mask,
-                bg,
-                jnp.int32(self.iteration),
-                jnp.float32(self.spatial_lr_scale),
-                cfg,
-                s.opt,
-                accumulate_stats=accumulate,
-                active_sh_degree=(
-                    None
-                    if self.active_sh_degree is None
-                    else jnp.int32(self.active_sh_degree)
-                ),
+        # Live-mutable hyperparameters travel as traced scalars; the static
+        # `opt` key has them normalized to 0.0 so viewer slider edits never
+        # change the jit cache key (no ~100s+ recompile per drag).
+        import dataclasses as _dc
+
+        live = LiveOptValues.from_opt(s.opt)
+        static_opt = _dc.replace(
+            s.opt,
+            position_lr_init=0.0, feature_lr=0.0, opacity_lr=0.0,
+            scaling_lr=0.0, rotation_lr=0.0, lambda_dssim=0.0,
+        )
+        prev_state, prev_adam = self.state, self.adam
+        for _attempt in range(3):
+            with self.timer.phase("train_step"):
+                self.state, self.adam, metrics = train_step(
+                    prev_state,
+                    prev_adam,
+                    kf.camera_matrices(s.z_near, s.z_far),
+                    gt,
+                    mask,
+                    bg,
+                    jnp.int32(self.iteration),
+                    jnp.float32(self.spatial_lr_scale),
+                    cfg,
+                    static_opt,
+                    accumulate_stats=accumulate,
+                    active_sh_degree=(
+                        None
+                        if self.active_sh_degree is None
+                        else jnp.int32(self.active_sh_degree)
+                    ),
+                    live=live,
+                )
+            # One bundled host fetch per step (the loss read below was a
+            # sync point anyway). total_pairs > max_pairs means binning
+            # DROPPED pairs this step (sentinel overflow design,
+            # ops/binning.py) — the frame and its gradients are wrong, so
+            # grow the capacity and redo the step from the pre-step state
+            # (the reference reallocates its binning buffer instead,
+            # rasterize_points.cu:28-36).
+            loss, psnr_v, count_v, total_pairs = (
+                np.asarray(x).item()
+                for x in jax.device_get(
+                    (metrics.loss, metrics.psnr, metrics.count, metrics.total_pairs)
+                )
             )
-        # Sync total_pairs only periodically — a per-step host read would
-        # serialize dispatch against the device.
-        if self.iteration % 50 == 1:
-            self._autosize_pairs(int(metrics.total_pairs))
+            self._autosize_pairs(total_pairs)
+            if total_pairs <= cfg.max_pairs:
+                break
+            print(
+                f"[mapper] WARNING: pair overflow at iter {self.iteration} "
+                f"({total_pairs} > {cfg.max_pairs}); growing to "
+                f"{self.max_pairs} and re-rendering"
+            )
+            cfg = self._raster_cfg(h, w)
 
         if self.iteration < s.opt.densify_until_iter:
             if (
@@ -313,7 +345,7 @@ class GaussianMapper:
                 )
                 self._ensure_capacity(int(self.state.count) // 2)
                 self._key, sub = jax.random.split(self._key)
-                self.state, self.adam, _ = densify_and_prune(
+                self.state, self.adam, aux = densify_and_prune(
                     self.state,
                     self.adam,
                     sub,
@@ -323,20 +355,32 @@ class GaussianMapper:
                     max_screen_size=size_threshold,
                     percent_dense=s.opt.percent_dense,
                 )
+                dropped = int(aux.dropped_for_capacity)
+                if dropped > 0:
+                    print(
+                        f"[mapper] WARNING: densify dropped {dropped} new "
+                        f"gaussians for capacity at iter {self.iteration}; "
+                        "growing capacity"
+                    )
+                    self._ensure_capacity(int(self.state.count) + dropped)
+            # resetOpacity cadence (gaussian_mapper.cpp:460): also fires for
+            # white-background runs exactly when iteration == densify_from.
             if (
                 s.opt.opacity_reset_interval
                 and self.iteration % s.opt.opacity_reset_interval == 0
+            ) or (
+                s.model.white_background
+                and self.iteration == s.opt.densify_from_iter
             ):
                 self.state, self.adam = reset_opacity(self.state, self.adam)
 
-        loss = float(metrics.loss)
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
         if s.training_report_interval and (
             self.iteration % s.training_report_interval == 0
         ):
             print(
                 f"[mapper] iter {self.iteration}: ema_loss {self.ema_loss:.5f} "
-                f"points {int(metrics.count)} pairs {int(metrics.total_pairs)} "
+                f"points {count_v} pairs {total_pairs} "
                 f"[{self.timer.report()}]"
             )
         if (
@@ -347,9 +391,9 @@ class GaussianMapper:
             self._record_keyframe_images(kf)
         return {
             "loss": loss,
-            "psnr": float(metrics.psnr),
-            "count": int(metrics.count),
-            "total_pairs": int(metrics.total_pairs),
+            "psnr": psnr_v,
+            "count": int(count_v),
+            "total_pairs": int(total_pairs),
         }
 
     # ------------------------------------------------------- SLAM-mode feed

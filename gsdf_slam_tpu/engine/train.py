@@ -32,6 +32,34 @@ class StepMetrics(NamedTuple):
     total_pairs: jnp.ndarray
 
 
+class LiveOptValues(NamedTuple):
+    """Traced copies of the live-mutable hyperparameters.
+
+    These are the values VariableParameters (viewer sliders) can change
+    every frame (gaussian_mapper.cpp:962-982). They ride into `train_step`
+    as traced scalars — never as part of the static `opt` key — so a slider
+    drag can't trigger a recompile."""
+
+    position_lr_init: jnp.ndarray
+    feature_lr: jnp.ndarray
+    opacity_lr: jnp.ndarray
+    scaling_lr: jnp.ndarray
+    rotation_lr: jnp.ndarray
+    lambda_dssim: jnp.ndarray
+
+    @staticmethod
+    def from_opt(opt: OptimizationParams) -> "LiveOptValues":
+        f = lambda v: jnp.float32(v)
+        return LiveOptValues(
+            position_lr_init=f(opt.position_lr_init),
+            feature_lr=f(opt.feature_lr),
+            opacity_lr=f(opt.opacity_lr),
+            scaling_lr=f(opt.scaling_lr),
+            rotation_lr=f(opt.rotation_lr),
+            lambda_dssim=f(opt.lambda_dssim),
+        )
+
+
 def render_state(
     state: GaussianState,
     cam: CameraMatrices,
@@ -76,12 +104,15 @@ def train_step(
     accumulate_stats: bool = True,
     lr_overrides: dict[str, Any] | None = None,
     active_sh_degree: jnp.ndarray | None = None,
+    live: LiveOptValues | None = None,
 ) -> tuple[GaussianState, AdamState, StepMetrics]:
     """One optimization iteration (trainForOneIteration :335-468).
 
-    `iteration` and `spatial_lr_scale` are traced so the lr schedule doesn't
-    recompile per step; densify/opacity-reset cadence is host-side.
+    `iteration`, `spatial_lr_scale` and the `live` hyperparameter bundle are
+    traced so neither the lr schedule nor viewer slider edits recompile;
+    densify/opacity-reset cadence is host-side.
     """
+    lambda_dssim = opt.lambda_dssim if live is None else live.lambda_dssim
 
     def loss_fn(params, m2d_offset):
         st = state.with_params(params)
@@ -89,7 +120,7 @@ def train_step(
             st, cam, bg, cfg, means2d_offset=m2d_offset,
             active_sh_degree=active_sh_degree,
         )
-        loss = mapper_loss(out.image, gt_image, mask, opt.lambda_dssim)
+        loss = mapper_loss(out.image, gt_image, mask, lambda_dssim)
         return loss, out
 
     m2d0 = jnp.zeros((state.capacity, 2), jnp.float32)
@@ -102,7 +133,7 @@ def train_step(
             state, g_m2d, out.radii, cfg.width, cfg.height
         )
 
-    lrs = group_lrs(opt, 1.0, iteration)
+    lrs = group_lrs(opt, 1.0, iteration, live=live)
     lrs["xyz"] = lrs["xyz"] * spatial_lr_scale
     if lr_overrides:
         lrs.update({k: jnp.asarray(v, jnp.float32) for k, v in lr_overrides.items()})

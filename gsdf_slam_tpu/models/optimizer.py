@@ -71,17 +71,18 @@ def adam_step(
 
 def expon_lr(
     step: Any,
-    lr_init: float,
-    lr_final: float,
+    lr_init: Any,
+    lr_final: Any,
     lr_delay_steps: int = 0,
     lr_delay_mult: float = 1.0,
     max_steps: int = 30_000,
 ):
     """Log-lerp lr schedule (gaussian_model.cpp:1025-1037, the classic 3DGS
-    get_expon_lr_func)."""
-    if lr_init == 0.0 and lr_final == 0.0:
-        return jnp.zeros_like(jnp.asarray(step, jnp.float32))
+    get_expon_lr_func). `lr_init`/`lr_final` may be traced values so live
+    hyperparameter edits (viewer sliders) never trigger a recompile."""
     step = jnp.asarray(step, jnp.float32)
+    lr_init = jnp.asarray(lr_init, jnp.float32)
+    lr_final = jnp.asarray(lr_final, jnp.float32)
     if lr_delay_steps > 0:
         delay = lr_delay_mult + (1.0 - lr_delay_mult) * jnp.sin(
             0.5 * math.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)
@@ -89,7 +90,12 @@ def expon_lr(
     else:
         delay = 1.0
     t = jnp.clip(step / max_steps, 0.0, 1.0)
-    log_lerp = jnp.exp(math.log(lr_init) * (1.0 - t) + math.log(lr_final) * t)
+    # guard log(0): the reference helper returns 0.0 when both rates are 0
+    log_lerp = jnp.exp(
+        jnp.log(jnp.maximum(lr_init, 1e-38)) * (1.0 - t)
+        + jnp.log(jnp.maximum(lr_final, 1e-38)) * t
+    )
+    log_lerp = jnp.where((lr_init == 0.0) & (lr_final == 0.0), 0.0, log_lerp)
     return jnp.where(step < 0, 0.0, delay * log_lerp)
 
 
@@ -97,21 +103,30 @@ def group_lrs(
     opt,  # OptimizationParams
     spatial_lr_scale: float,
     iteration: Any,
+    live: Any = None,  # LiveOptValues | None — traced slider overrides
 ) -> dict[str, jnp.ndarray]:
-    """Current lr per group (trainingSetup :319-352 + updateLearningRate)."""
+    """Current lr per group (trainingSetup :319-352 + updateLearningRate).
+
+    When `live` is given, its (possibly traced) values override the static
+    ones so viewer slider edits flow through without recompiling."""
+    position_lr_init = opt.position_lr_init if live is None else live.position_lr_init
+    feature_lr = opt.feature_lr if live is None else live.feature_lr
+    opacity_lr = opt.opacity_lr if live is None else live.opacity_lr
+    scaling_lr = opt.scaling_lr if live is None else live.scaling_lr
+    rotation_lr = opt.rotation_lr if live is None else live.rotation_lr
     xyz_lr = expon_lr(
         iteration,
-        opt.position_lr_init * spatial_lr_scale,
+        position_lr_init * spatial_lr_scale,
         opt.position_lr_final * spatial_lr_scale,
         lr_delay_mult=opt.position_lr_delay_mult,
         max_steps=opt.position_lr_max_steps,
     )
-    f = jnp.float32
+    f = lambda v: jnp.asarray(v, jnp.float32)
     return {
         "xyz": xyz_lr,
-        "f_dc": f(opt.feature_lr),
-        "f_rest": f(opt.feature_lr / 20.0),
-        "opacity": f(opt.opacity_lr),
-        "scaling": f(opt.scaling_lr),
-        "rotation": f(opt.rotation_lr),
+        "f_dc": f(feature_lr),
+        "f_rest": f(feature_lr / 20.0),
+        "opacity": f(opacity_lr),
+        "scaling": f(scaling_lr),
+        "rotation": f(rotation_lr),
     }

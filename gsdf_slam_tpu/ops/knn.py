@@ -10,7 +10,7 @@ pruning with a fixed +-WINDOW candidate scan over the sorted order — fully
 vectorized (one [N, 2*WINDOW] distance matrix, a small sort), no
 data-dependent control flow. This is approximate for adversarial point sets
 but statistically indistinguishable for scale init (validated against brute
-force in tests/test_knn.py); the CUDA version's candidate pass (simple_knn.cu
+force in tests/test_components.py); the CUDA version's candidate pass (simple_knn.cu
 :148-183) is itself windowed before box refinement.
 """
 

@@ -79,7 +79,9 @@ async function buildSliders(){
     const r=document.createElement('input');
     r.type='range';r.min=0;r.max=Math.max(v*4,1e-6);r.step=Math.max(v/100,1e-7);r.value=v;
     r.oninput=async()=>{l.firstChild.textContent=k+' = '+r.value;
-      await fetch('/params',{method:'POST',body:JSON.stringify({[k]:parseFloat(r.value)})});};
+      const tok=new URLSearchParams(location.search).get('token');
+      await fetch('/params',{method:'POST',headers:tok?{'X-Viewer-Token':tok}:{},
+        body:JSON.stringify({[k]:parseFloat(r.value)})});};
     div.appendChild(l);l.appendChild(r);
   }
 }
@@ -104,9 +106,26 @@ def _pose_from_query(q) -> np.ndarray:
     return t_cw.astype(np.float32)
 
 
+#: Allowed /render sizes. Each new (w, h) forces a fresh jit compile of the
+#: render pipeline, so arbitrary client-chosen sizes are a DoS surface.
+RENDER_SIZES = ((320, 180), (640, 360), (960, 540), (1280, 720))
+
+
 class ViewerServer:
-    def __init__(self, mapper, host: str = "0.0.0.0", port: int = 8090):
+    def __init__(
+        self,
+        mapper,
+        host: str = "127.0.0.1",
+        port: int = 8090,
+        token: str | None = None,
+    ):
+        """`host` defaults to loopback: the reference viewer is a local GLFW
+        window (viewer/imgui_viewer.cpp) and never exposes training control
+        to the network. Pass host="0.0.0.0" + a `token` to serve remotely;
+        with a token set, POST /params requires an `X-Viewer-Token` header
+        (the page injects it automatically when loaded with ?token=...)."""
         self.mapper = mapper
+        self.token = token
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -128,6 +147,11 @@ class ViewerServer:
                     q = parse_qs(u.query)
                     w = int(q.get("w", ["640"])[0])
                     h = int(q.get("h", ["360"])[0])
+                    # snap to the nearest whitelisted size (compile-cache DoS
+                    # guard; see RENDER_SIZES)
+                    w, h = min(
+                        RENDER_SIZES, key=lambda s: abs(s[0] - w) + abs(s[1] - h)
+                    )
                     if outer.mapper.state is None:
                         self._send(503, b"{}")
                         return
@@ -174,6 +198,12 @@ class ViewerServer:
 
             def do_POST(self):
                 if urlparse(self.path).path == "/params":
+                    if (
+                        outer.token is not None
+                        and self.headers.get("X-Viewer-Token") != outer.token
+                    ):
+                        self._send(403, b'{"error": "bad token"}')
+                        return
                     n = int(self.headers.get("Content-Length", 0))
                     updates = json.loads(self.rfile.read(n) or b"{}")
                     p = outer.mapper.get_variable_parameters()

@@ -145,3 +145,23 @@ def test_sky_mask_applied():
     kf = m.ingest_frame(0, frames[0])
     assert kf.image[:16].max() == 0.0
     assert kf.mask is not None and kf.mask[:16].max() == 0.0 and kf.mask[16:].min() == 1.0
+
+
+def test_pair_overflow_retries_same_iteration(capsys):
+    """Pair-capacity overflow must never yield a silently-wrong frame: the
+    mapper detects total_pairs > max_pairs on the bundled per-step metrics
+    fetch, grows the capacity, and redoes the step from the pre-step state
+    (the reference's dynamically resized binning buffer,
+    rasterize_points.cu:28-36, never drops pairs)."""
+    frames = make_frames(n=1, hw=(64, 64))
+    m = _mapper(frames)
+    m.max_pairs = 256  # far below what 60 splats x 16 tiles can produce
+    m.auto_size_pairs = True
+    m.ingest_frame(0, frames[0])
+    out = m.train_for_one_iteration()
+    assert out is not None
+    # the returned step is the VALID retry: pairs fit the (grown) capacity
+    assert out["total_pairs"] <= m.max_pairs
+    assert m.max_pairs > 16
+    assert "pair overflow" in capsys.readouterr().out
+    assert m.iteration == 1
