@@ -233,14 +233,18 @@ class GaussianMapper:
         with MAX_PAIRS, so an oversized capacity wastes most of the frame
         (the reference's equivalent knob is the dynamically resized
         binningBuffer, rasterize_points.cu:28-36). Grows eagerly on
-        overflow-risk, shrinks lazily; power-of-two steps bound recompiles
-        to a handful over a run."""
+        overflow-risk, shrinks lazily; 32k-granular sizes bound recompiles
+        to a few dozen over a run while keeping slack ~1.35x (overflow is
+        detected on the per-step metrics fetch and the step redone, so the
+        slack only absorbs between-frame variation; it is not needed for
+        correctness)."""
         if not self.auto_size_pairs:
             return
         self._pairs_high_water = max(self._pairs_high_water, observed_total)
-        need = int(self._pairs_high_water * 1.5) + 1
-        size = 1 << max(14, (need - 1).bit_length())
-        if size > self.max_pairs or size * 4 < self.max_pairs:
+        need = int(self._pairs_high_water * 1.35) + 1
+        step = 1 << 15
+        size = max(1 << 14, (need + step - 1) // step * step)
+        if size > self.max_pairs or size * 2 < self.max_pairs:
             self.max_pairs = size
 
     def _gt_device(self, kf: Keyframe, level: int, n_levels: int) -> jnp.ndarray:

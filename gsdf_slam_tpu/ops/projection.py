@@ -196,12 +196,48 @@ def preprocess(
     # Tile rect (auxiliary.h:38-51). The C (int) casts truncate toward zero;
     # since both bounds are then clamped into [0, grid], astype truncation
     # followed by clip is exactly equivalent.
+    #
+    # TPU redesign: the rect is the tight per-axis AABB of the splat's
+    # {alpha >= 1/255} super-level ellipse, capped at the reference's 3-sigma
+    # square. The reference emits keys for the full 3-sigma rect and then
+    # culls every tile whose in-tile peak opacity is < 1/255
+    # (max_contrib_power_rect_gaussian_float, rasterizer_impl.cu:66-118,
+    # threshold test :193-198). Any tile outside this AABB cannot intersect
+    # the ellipse, so its peak is < 1/255 and the reference culls it too —
+    # the post-cull pair set (and therefore the image and all gradients) is
+    # IDENTICAL, but the pair buffer, sort, and kernel work all shrink.
+    # d^T conic d <= 2 ln(255 op)  =>  |dx| <= sqrt(2 ln(255 op) * cov_xx).
     grid_i = jnp.array([gw, gh], dtype=jnp.int32)
-    rmin = jnp.clip(((means2d - radius_f[:, None]) / TILE).astype(jnp.int32), 0, grid_i)
-    rmax_f = jnp.maximum(0.0, (means2d + radius_f[:, None] + TILE - 1) / TILE)
-    rmax = jnp.minimum(rmax_f.astype(jnp.int32), grid_i)
+    # NOT capped at 9: for op > e^4.5/255 (~0.35) the reference blends pixels
+    # beyond the 3-sigma ellipse level; the 3-sigma square is enforced
+    # separately by the min with radius_f (the reference's rect bound).
+    power_cap = jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(opacities, 1e-30) * 255.0), 0.0
+    )
+    ext = jnp.ceil(
+        jnp.sqrt(power_cap[:, None] * jnp.maximum(cov2d[:, (0, 2)], 0.0))
+    )
+    ext = jnp.minimum(ext, radius_f[:, None])
+    # the reference-exact 3-sigma rect, kept for the radii/visibility filter
+    rmin3 = jnp.clip(((means2d - radius_f[:, None]) / TILE).astype(jnp.int32), 0, grid_i)
+    rmax3_f = jnp.maximum(0.0, (means2d + radius_f[:, None] + TILE - 1) / TILE)
+    rmax3 = jnp.minimum(rmax3_f.astype(jnp.int32), grid_i)
+    area3 = (rmax3[:, 0] - rmin3[:, 0]) * (rmax3[:, 1] - rmin3[:, 1])
 
-    area = (rmax[:, 0] - rmin[:, 0]) * (rmax[:, 1] - rmin[:, 1])
+    rmin = jnp.clip(((means2d - ext) / TILE).astype(jnp.int32), 0, grid_i)
+    rmax_f = jnp.maximum(0.0, (means2d + ext + TILE - 1) / TILE)
+    rmax = jnp.minimum(rmax_f.astype(jnp.int32), grid_i)
+    # op exactly 1/255 keeps its mean tile (peak alpha passes the >= test in
+    # both the reference cull and the blend's ALPHA_MIN gate); only strictly
+    # smaller opacities can never contribute anywhere.
+    zero_ext = opacities * 255.0 < 1.0
+    area = jnp.where(
+        zero_ext, 0, (rmax[:, 0] - rmin[:, 0]) * (rmax[:, 1] - rmin[:, 1])
+    )
+
+    # radii parity: the reference's visibility filter is radii > 0 with the
+    # 3-sigma rect's area test (forward.cu:296-297), independent of the cull.
+    valid_radii = jnp.logical_and(valid, area3 > 0)
     valid = jnp.logical_and(valid, area > 0)
 
     if colors_precomp is None:
@@ -211,7 +247,7 @@ def preprocess(
     else:
         colors = colors_precomp
 
-    radii = jnp.where(valid, radius_f, 0.0).astype(jnp.int32)
+    radii = jnp.where(valid_radii, radius_f, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
     return Preprocessed(
         means2d=means2d,
