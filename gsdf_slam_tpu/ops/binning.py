@@ -166,79 +166,6 @@ class AlignedBinned(NamedTuple):
     total_pairs: jnp.ndarray  # [] int32 true pair count (overflow indicator)
 
 
-class GroupAlignedBinned(NamedTuple):
-    """Group-aligned pair layout: G adjacent tiles share chunk alignment.
-
-    Per-tile alignment wastes up to CHUNK-1 slots per tile — at 16x16 tiles
-    on room-scale scenes most tiles hold < 128 pairs, so ~40% of all packed
-    rows were padding (and every row-loop-bound gather/scatter op pays per
-    row). Grouping G tiles cuts the padding to ~CHUNK/2 per GROUP; inside
-    the kernel the per-tile segmentation becomes small MXU matmuls against
-    a [G, CHUNK] one-hot of each pair's tile-within-group slot.
-    """
-
-    ranges: jnp.ndarray  # [2, num_groups] int32: (aligned starts; counts)
-    pair_gauss: jnp.ndarray  # [MPA] int32; sentinel (= P) on padding
-    pair_slot: jnp.ndarray  # [MPA] int32 tile-within-group (0..G-1)
-    total_pairs: jnp.ndarray  # [] int32
-
-
-def align_pairs_grouped(
-    binned: Binned,
-    num_gaussians: int,
-    *,
-    num_tiles: int,
-    chunk: int,
-    group: int,
-) -> GroupAlignedBinned:
-    """Re-lay the sorted pair list with per-GROUP chunk alignment."""
-    pt = binned.pair_tile
-    mp = pt.shape[0]
-    ng = (num_tiles + group - 1) // group
-    # one searchsorted over T+1 boundaries: left(t+1) == right(t)
-    bounds = jnp.searchsorted(
-        pt, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    tile_starts = bounds[:num_tiles]
-    tile_counts = bounds[1:] - bounds[:num_tiles]
-    padded = jnp.zeros((ng * group,), jnp.int32).at[:num_tiles].set(tile_counts)
-    gcounts = padded.reshape(ng, group).sum(axis=1)
-    gsizes = (gcounts + chunk - 1) // chunk * chunk
-    gstarts = (jnp.cumsum(gsizes) - gsizes).astype(jnp.int32)
-    # first sorted-pair slot of each group = tile_start of its first tile
-    first_tile = jnp.minimum(jnp.arange(ng, dtype=jnp.int32) * group, num_tiles - 1)
-    g_first_slot = tile_starts[first_tile]
-
-    mpa = mp + ng * chunk
-    slot = jnp.arange(mp, dtype=jnp.int32)
-    t = jnp.minimum(pt, num_tiles - 1)
-    g = t // group
-    # packed [NG, 8] table -> one wide row gather
-    gtable = jnp.concatenate(
-        [
-            gstarts[:, None],
-            g_first_slot[:, None],
-            jnp.zeros((ng, 6), jnp.int32),
-        ],
-        axis=1,
-    )
-    grows = gtable[g]
-    new_pos = jnp.where(pt < num_tiles, grows[:, 0] + (slot - grows[:, 1]), mpa)
-    out_gauss = jnp.full((mpa,), num_gaussians, jnp.int32).at[new_pos].set(
-        binned.pair_gauss, mode="drop"
-    )
-    out_slot = jnp.zeros((mpa,), jnp.int32).at[new_pos].set(
-        t % group, mode="drop"
-    )
-    ranges = jnp.stack([gstarts, gcounts], axis=0)
-    return GroupAlignedBinned(
-        ranges=ranges,
-        pair_gauss=out_gauss,
-        pair_slot=out_slot,
-        total_pairs=binned.total_pairs,
-    )
-
-
 def align_pairs(
     binned: Binned, num_gaussians: int, *, num_tiles: int, chunk: int
 ) -> AlignedBinned:

@@ -1,0 +1,231 @@
+"""Fused TPU binning: one gather, payload-through-sort, DMA realignment.
+
+Replaces the round-1 three-pass layout (expand -> sort ids -> scatter ids ->
+re-gather payload by pair id) for the grouped Pallas blend path. The CUDA
+reference sorts only (key, gaussian-id) pairs and lets its kernels random-
+access per-Gaussian data from L2 (rasterizer_impl.cu:474-500, forward.cu:
+384-400); TPUs have no fast random access, so every per-pair table trip is
+a row-loop-bound XLA gather/scatter (~12 ns/row). This module keeps exactly
+ONE wide gather:
+
+  1. pack ALL per-Gaussian fields (binning rect/start + blend payload) into
+     one [P, 16] table; expand to buffer-ordered pair rows with a single
+     row-gather by the monotone rank;
+  2. sort ONCE with the blend payload as extra sort operands — measured on
+     v5e, a 12-operand 2-key sort costs barely more than the 3-operand one
+     and deletes the post-sort payload re-gather entirely;
+  3. re-lay the sorted rows into the group-aligned layout the kernels DMA
+     ([16, MPA], every group starting on a chunk boundary) with a Pallas
+     HBM->HBM roll-copy kernel: contiguous DMA at memory bandwidth instead
+     of a row-loop scatter (the wide-scatter alternative measures 7x worse
+     than even the narrow one).
+
+Group-tail padding slots now hold NEIGHBOR pairs' data rather than a zero
+sentinel row, so the blend kernels mask by the true per-group pair count
+(pallas_blend_grouped.py applies `pos < count`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import _tile_opacity_keep
+
+# table / sorted-row field indices (int fields travel as bitcast f32)
+TB_RMX, TB_RMY, TB_RW, TB_GID, TB_START = range(5)
+TB_MX, TB_MY, TB_CA, TB_CB, TB_CC, TB_OP, TB_DEPTH, TB_R, TB_G, TB_B = range(5, 15)
+
+PACK = 16  # rows of the packed pair array (matches pallas_blend.PACK)
+
+
+class SortedPairs(NamedTuple):
+    """Group-aligned packed pairs ready for the grouped blend kernels."""
+
+    ranges: jnp.ndarray  # [2, ng] int32: chunk-aligned group starts; counts
+    pairs: jnp.ndarray  # [16, MPA] f32: rows 0-8 blend fields, 9 slot, 10 gid bits
+    total_pairs: jnp.ndarray  # [] int32 true pair count (overflow indicator)
+
+
+def _as_f(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+
+def _as_i(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _realign_kernel(tbl_ref, src_hbm, dst_hbm, buf_ref, obuf_ref, sem_in, sem_out,
+                    *, chunk):
+    """Copy each group's contiguous sorted run to its chunk-aligned start.
+
+    Source offsets are arbitrary, and TPU DMA lane slices must be 128-
+    aligned — so each chunk reads a [16, chunk+128] window from the aligned
+    floor and rotates the misalignment away (pltpu.roll is a bitwise lane
+    shuffle, safe for the bitcast int rows)."""
+    g = pl.program_id(0)
+    gfs = tbl_ref[0, g]  # first sorted slot of the group (arbitrary)
+    dst0 = tbl_ref[1, g]  # chunk-aligned destination start
+    nch = tbl_ref[2, g]  # ceil(count / chunk) chunks to move
+    base = gfs // 128 * 128
+    shift = gfs - base
+
+    def body(j, _):
+        src = pl.multiple_of(base + j * chunk, 128)
+        dma = pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(src, chunk + 128)], buf_ref, sem_in
+        )
+        dma.start()
+        dma.wait()
+        obuf_ref[:] = pltpu.roll(buf_ref[:], -shift, 1)[:, :chunk]
+        out = pltpu.make_async_copy(
+            obuf_ref,
+            dst_hbm.at[:, pl.ds(pl.multiple_of(dst0 + j * chunk, chunk), chunk)],
+            sem_out,
+        )
+        out.start()
+        out.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0, unroll=False)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_realign(ng: int, src_lanes: int, mpa: int, chunk: int):
+    # interpret mode keeps the fused path testable off-TPU (CPU suite /
+    # multichip dryrun); Mosaic compiles it natively on the chip.
+    interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((PACK, chunk + 128), jnp.float32),
+            pltpu.VMEM((PACK, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_realign_kernel, chunk=chunk),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((PACK, mpa), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+def sort_expand_pack(
+    depths: jnp.ndarray,
+    rect_min: jnp.ndarray,
+    rect_max: jnp.ndarray,
+    tiles_touched: jnp.ndarray,
+    means2d: jnp.ndarray,
+    conics: jnp.ndarray,
+    opacities: jnp.ndarray,
+    colors: jnp.ndarray,
+    *,
+    grid_w: int,
+    grid_h: int,
+    max_pairs: int,
+    chunk: int,
+    group: int,
+) -> SortedPairs:
+    """Expand, cull, sort (payload-carrying), and group-align in one pass.
+
+    Binning semantics are identical to ops/binning.bin_gaussians (same
+    expansion order, same per-tile opacity cull, same stable (tile, depth)
+    order); only the data movement differs.
+    """
+    p = depths.shape[0]
+    num_tiles = grid_w * grid_h
+    ng = (num_tiles + group - 1) // group
+    mp = max_pairs
+
+    tiles_d = tiles_touched
+    starts = jnp.cumsum(tiles_d) - tiles_d
+    table = jnp.concatenate(
+        [
+            _as_f(rect_min),  # 0, 1
+            _as_f((rect_max[:, 0] - rect_min[:, 0])[:, None]),  # 2
+            _as_f(jnp.arange(p, dtype=jnp.int32)[:, None]),  # 3 gid
+            _as_f(starts[:, None]),  # 4
+            means2d,  # 5, 6
+            conics,  # 7, 8, 9
+            opacities[:, None],  # 10
+            depths[:, None],  # 11
+            colors,  # 12, 13, 14
+            jnp.zeros((p, 1), jnp.float32),  # 15
+        ],
+        axis=1,
+    )
+    total = jnp.sum(tiles_d)
+    scatter_pos = jnp.where(tiles_d > 0, starts, mp)
+    seg = jnp.zeros((mp,), jnp.int32)
+    seg = seg.at[scatter_pos].max(jnp.arange(1, p + 1, dtype=jnp.int32), mode="drop")
+    rank = jnp.maximum(jax.lax.cummax(seg) - 1, 0)
+
+    rows = table[rank]  # THE one wide gather of the whole pipeline
+    slot = jnp.arange(mp, dtype=jnp.int32)
+    local = slot - _as_i(rows[:, TB_START])
+    rw = jnp.maximum(_as_i(rows[:, TB_RW]), 1)
+    tx = _as_i(rows[:, TB_RMX]) + local % rw
+    ty = _as_i(rows[:, TB_RMY]) + local // rw
+    keep = _tile_opacity_keep(
+        rows[:, TB_MX : TB_MY + 1], rows[:, TB_CA : TB_CC + 1], rows[:, TB_OP], tx, ty
+    )
+    pair_valid = (slot < total) & keep
+    tile_id = jnp.where(pair_valid, ty * grid_w + tx, num_tiles).astype(jnp.int32)
+
+    sorted_ops = jax.lax.sort(
+        (
+            tile_id,
+            rows[:, TB_DEPTH],
+            rows[:, TB_MX],
+            rows[:, TB_MY],
+            rows[:, TB_CA],
+            rows[:, TB_CB],
+            rows[:, TB_CC],
+            rows[:, TB_OP],
+            rows[:, TB_R],
+            rows[:, TB_G],
+            rows[:, TB_B],
+            _as_i(rows[:, TB_GID]),
+        ),
+        num_keys=2,
+        is_stable=True,
+    )
+    st = sorted_ops[0]
+
+    bounds = jnp.searchsorted(
+        st, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_starts = bounds[:num_tiles]
+    tile_counts = bounds[1:] - bounds[:num_tiles]
+    padded = jnp.zeros((ng * group,), jnp.int32).at[:num_tiles].set(tile_counts)
+    gcounts = padded.reshape(ng, group).sum(axis=1)
+    gsizes = (gcounts + chunk - 1) // chunk * chunk
+    gstarts = (jnp.cumsum(gsizes) - gsizes).astype(jnp.int32)
+    first_tile = jnp.minimum(jnp.arange(ng, dtype=jnp.int32) * group, num_tiles - 1)
+    g_first_slot = tile_starts[first_tile]
+
+    slot_f = (jnp.minimum(st, num_tiles - 1) % group).astype(jnp.float32)
+    gid_f = _as_f(sorted_ops[11])
+    z = jnp.zeros((mp,), jnp.float32)
+    packed = jnp.stack(
+        list(sorted_ops[2:11]) + [slot_f, gid_f, z, z, z, z, z], axis=0
+    )  # [16, MP]
+    src_lanes = mp + chunk + 256  # window slack for the last group's chunks
+    packed = jnp.pad(packed, ((0, 0), (0, src_lanes - mp)))
+
+    mpa = mp + ng * chunk
+    tbl = jnp.stack([g_first_slot, gstarts, gsizes // chunk], axis=0)
+    (pairs,) = _make_realign(ng, src_lanes, mpa, chunk)(tbl, packed)
+    ranges = jnp.stack([gstarts, gcounts], axis=0)
+    return SortedPairs(ranges=ranges, pairs=pairs, total_pairs=total)

@@ -47,9 +47,17 @@ def _local_xy():
     return (j % TILE).astype(jnp.float32), (j // TILE).astype(jnp.float32)
 
 
-def _chunk_geom(buf, g_idx, grid_w, group):
-    """Per-(pair, local-pixel) alpha for one [16, CHUNK] block."""
+def _chunk_geom(buf, g_idx, grid_w, group, pos0, n):
+    """Per-(pair, local-pixel) alpha for one [16, CHUNK] block.
+
+    `pos0 + lane < n` masks group-tail padding: with the fused binning
+    (ops/pallas_binning.py) padding lanes hold NEIGHBOR pairs' real payload
+    rather than a zero sentinel row, so they must be dead by position. The
+    payload is always valid finite data (conics are PD, so power <= 0 and
+    no inf/NaN can leak through the masked lanes' zero weights)."""
     jx, jy = _local_xy()
+    chunk = buf.shape[1]
+    in_count = (jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + pos0) < n
     slot = buf[F_SLOT : F_SLOT + 1, :].astype(jnp.int32)  # [1, C]
     tile = g_idx * group + slot
     tox = (tile % grid_w).astype(jnp.float32) * TILE
@@ -65,7 +73,7 @@ def _chunk_geom(buf, g_idx, grid_w, group):
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     g_exp = jnp.exp(power)
     alpha_raw = jnp.minimum(ALPHA_MAX, op * g_exp)
-    live = (power <= 0.0) & (alpha_raw >= ALPHA_MIN)
+    live = (power <= 0.0) & (alpha_raw >= ALPHA_MIN) & in_count
     alpha = jnp.where(live, alpha_raw, 0.0)
     return alpha, g_exp, dx, dy, (a, b, c, op), slot
 
@@ -95,7 +103,9 @@ def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
         dma.start()
         dma.wait()
         buf = buf_ref[:]
-        alpha, _, _, _, _, slot = _chunk_geom(buf, g_idx, grid_w, group)
+        alpha, _, _, _, _, slot = _chunk_geom(
+            buf, g_idx, grid_w, group, c_idx * chunk, n
+        )
         oh = _onehot(slot, group, chunk)  # [G, C]
         eq = _mm(oh, oh, (((0,), (0,)),)[0])  # [C, C]
         useg = triu * eq
@@ -163,6 +173,7 @@ def _bwd_kernel(ranges_ref, pairs_hbm, traw_ref, ct_acc_ref, ct_teff_ref,
                 out_sem, *, grid_w, chunk, group):
     g_idx = pl.program_id(0)
     start = ranges_ref[0, g_idx]
+    n = ranges_ref[1, g_idx]
     # row 2 carries the forward's early-termination chunk count: pairs in
     # later chunks were never applied, so their gradients are zero — the
     # grads buffer is zero-initialized through input/output aliasing.
@@ -180,7 +191,7 @@ def _bwd_kernel(ranges_ref, pairs_hbm, traw_ref, ct_acc_ref, ct_teff_ref,
         dma.wait()
         buf = buf_ref[:]
         alpha, g_exp, dx, dy, (a, b, c, op), slot = _chunk_geom(
-            buf, g_idx, grid_w, group
+            buf, g_idx, grid_w, group, c_idx * chunk, n
         )
         oh = _onehot(slot, group, chunk)
         eq = _mm(oh, oh, (((0,), (0,)),)[0])
@@ -279,27 +290,20 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, gro
 
 
 # ------------------------------------------------------------------ wrapper
-def pack_pairs_grouped(pair_gauss, pair_slot, means2d, conics, opacities, colors):
-    """[16, MPA] packed fields; field 9 carries tile-within-group."""
-    p = means2d.shape[0]
-    table = jnp.concatenate(
-        [
-            means2d,
-            conics,
-            opacities[:, None],
-            colors,
-            jnp.zeros((p, PACK - 9), jnp.float32),
-        ],
-        axis=1,
-    )
-    table = jnp.concatenate([table, jnp.zeros((1, PACK), jnp.float32)], axis=0)
-    rows = table[pair_gauss]
-    rows = rows.at[:, F_SLOT].set(pair_slot.astype(jnp.float32))
-    return rows.T  # [16, MPA]
-
-
 @functools.lru_cache(maxsize=32)
-def _make_grouped_blend(grid_w: int, grid_h: int, chunk: int, group: int, mpa: int):
+def _make_fused_blend(
+    grid_w: int, grid_h: int, chunk: int, group: int, max_pairs: int
+):
+    """Fused grouped blend: binning + sort + realign + kernels + fold.
+
+    The whole pair pipeline (ops/pallas_binning.sort_expand_pack) lives
+    INSIDE the custom_vjp forward: the backward never differentiates
+    through the sort/realign permutation — it folds the kernel's per-pair
+    gradients straight back to Gaussian space by the pair's gid (carried
+    through sort and realign as bitcast bits), exactly like the reference's
+    atomicAdd into per-Gaussian buffers (backward.cu:546+)."""
+    from .pallas_binning import sort_expand_pack
+
     num_tiles = grid_w * grid_h
     ng = (num_tiles + group - 1) // group
 
@@ -309,22 +313,37 @@ def _make_grouped_blend(grid_w: int, grid_h: int, chunk: int, group: int, mpa: i
         te = teff.transpose(0, 2, 1).reshape(ng * group, PIX_PER_TILE)
         return acc[:num_tiles], te[:num_tiles]
 
-    @jax.custom_vjp
-    def blend(ranges, pair_gauss, pair_slot, means2d, conics, opacities, colors):
-        pairs = pack_pairs_grouped(pair_gauss, pair_slot, means2d, conics, opacities, colors)
-        accum, teff, _, _ = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
-        return _to_tiles(accum, teff)
+    def _pipeline(depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors):
+        sp = sort_expand_pack(
+            depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors,
+            grid_w=grid_w, grid_h=grid_h, max_pairs=max_pairs,
+            chunk=chunk, group=group,
+        )
+        accum, teff, traw, ndone = _run_fwd(sp.ranges, sp.pairs, ng, grid_w, chunk, group)
+        return sp, accum, teff, traw, ndone
 
-    def fwd(ranges, pair_gauss, pair_slot, means2d, conics, opacities, colors):
-        pairs = pack_pairs_grouped(pair_gauss, pair_slot, means2d, conics, opacities, colors)
-        accum, teff, traw, ndone = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
-        out = _to_tiles(accum, teff)
-        ranges3 = jnp.concatenate([ranges, ndone[:, 0, 0][None, :]], axis=0)
-        return out, (ranges3, pair_gauss, pairs, traw, means2d.shape[0])
+    @jax.custom_vjp
+    def blend(depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors):
+        sp, accum, teff, _, _ = _pipeline(
+            depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors
+        )
+        acc, te = _to_tiles(accum, teff)
+        return acc, te, sp.total_pairs
+
+    def fwd(depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors):
+        sp, accum, teff, traw, ndone = _pipeline(
+            depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors
+        )
+        acc, te = _to_tiles(accum, teff)
+        ranges3 = jnp.concatenate([sp.ranges, ndone[:, 0, 0][None, :]], axis=0)
+        shapes = (depths.shape, rect_min.shape, tiles_d.shape)
+        return (acc, te, sp.total_pairs), (
+            ranges3, sp.pairs, traw, depths.shape[0], shapes,
+        )
 
     def bwd(res, cts):
-        ranges, pair_gauss, pairs, traw, p = res
-        ct_accum_t, ct_teff_t = cts  # [num_tiles, 256, 3], [num_tiles, 256]
+        ranges, pairs, traw, p, shapes = res
+        ct_accum_t, ct_teff_t, _ = cts  # total_pairs cotangent is symbolic-zero
         pad = ng * group - num_tiles
         ct_acc = jnp.pad(ct_accum_t, ((0, pad), (0, 0), (0, 0)))
         ct_acc = ct_acc.reshape(ng, group, PIX_PER_TILE, 3).transpose(0, 2, 1, 3)
@@ -333,31 +352,44 @@ def _make_grouped_blend(grid_w: int, grid_h: int, chunk: int, group: int, mpa: i
         pair_grads = _run_bwd(
             ranges, pairs, traw, ct_acc, ct_te, pairs.shape[1], ng, grid_w, chunk, group
         )
-        acc = jnp.zeros((p + 1, PACK), jnp.float32).at[pair_gauss].add(pair_grads.T)[:p]
-        zi = np.zeros(ranges.shape, dtype=jax.dtypes.float0)
-        zg = np.zeros(pair_gauss.shape, dtype=jax.dtypes.float0)
-        return (zi, zg, zg, acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9])
+        # gid rode along as bitcast bits in row 10; padding/unvisited slots
+        # carry garbage ids but exactly-zero gradients (masked lanes), so a
+        # clip keeps every index in range and the adds are no-ops.
+        gid = jnp.clip(
+            jax.lax.bitcast_convert_type(pairs[10], jnp.int32), 0, p
+        )
+        acc = jnp.zeros((p + 1, PACK), jnp.float32).at[gid].add(pair_grads.T)[:p]
+        zd = jnp.zeros(shapes[0], jnp.float32)  # depth is f32 (non-diff key)
+        zr = np.zeros(shapes[1], dtype=jax.dtypes.float0)
+        zt = np.zeros(shapes[2], dtype=jax.dtypes.float0)
+        return (zd, zr, zr, zt, acc[:, 0:2], acc[:, 2:5], acc[:, 5], acc[:, 6:9])
 
     blend.defvjp(fwd, bwd)
     return blend
 
 
-def blend_tiles_grouped(
-    ranges: jnp.ndarray,  # [2, num_groups] int32
-    pair_gauss: jnp.ndarray,  # [MPA] int32, sentinel = P
-    pair_slot: jnp.ndarray,  # [MPA] int32 in [0, group)
-    means2d: jnp.ndarray,
-    conics: jnp.ndarray,
+def blend_tiles_grouped_fused(
+    pre,  # Preprocessed (rects/depths/tiles used as non-diff binning keys)
     opacities: jnp.ndarray,
-    colors: jnp.ndarray,
     *,
     grid_w: int,
     grid_h: int,
+    max_pairs: int,
     chunk: int = 128,
     group: int = 8,
 ):
+    """Grouped production path: returns (accum [T,256,3], log_teff [T,256],
+    total_pairs). Gradients flow to means2d/conics/opacities/colors."""
     assert chunk % 128 == 0
     assert group in (1, 8, 16, 32), "group must be 1 or a multiple of 8 (block tiling)"
-    return _make_grouped_blend(grid_w, grid_h, chunk, group, pair_gauss.shape[0])(
-        ranges, pair_gauss, pair_slot, means2d, conics, opacities, colors
+    fn = _make_fused_blend(grid_w, grid_h, chunk, group, max_pairs)
+    return fn(
+        jax.lax.stop_gradient(pre.depths),
+        jax.lax.stop_gradient(pre.rect_min),
+        jax.lax.stop_gradient(pre.rect_max),
+        jax.lax.stop_gradient(pre.tiles_touched),
+        pre.means2d,
+        pre.conics,
+        opacities,
+        pre.colors,
     )

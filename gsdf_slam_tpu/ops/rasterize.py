@@ -110,32 +110,30 @@ def render(
         colors_precomp=colors_precomp,
         active_sh_degree=active_sh_degree,
     )
+    if cfg.use_pallas() and cfg.pallas_group > 1:
+        from .pallas_blend_grouped import blend_tiles_grouped_fused
+
+        accum, log_t_eff, total_pairs = blend_tiles_grouped_fused(
+            pre,
+            opacities,
+            grid_w=gw,
+            grid_h=gh,
+            max_pairs=cfg.max_pairs,
+            chunk=cfg.pallas_chunk,
+            group=cfg.pallas_group,
+        )
+        image, final_t = assemble_image(
+            accum, log_t_eff, bg, grid_w=gw, grid_h=gh, width=cfg.width, height=cfg.height
+        )
+        return RenderOutput(
+            image=image, final_t=final_t, radii=pre.radii, total_pairs=total_pairs
+        )
+
     binned = bin_gaussians(
         jax.lax.stop_gradient(pre), jax.lax.stop_gradient(opacities),
         grid_w=gw, grid_h=gh, max_pairs=cfg.max_pairs,
     )
-    if cfg.use_pallas() and cfg.pallas_group > 1:
-        from .binning import align_pairs_grouped
-        from .pallas_blend_grouped import blend_tiles_grouped
-
-        aligned = align_pairs_grouped(
-            binned, means3d.shape[0], num_tiles=gw * gh,
-            chunk=cfg.pallas_chunk, group=cfg.pallas_group,
-        )
-        accum, log_t_eff = blend_tiles_grouped(
-            aligned.ranges,
-            aligned.pair_gauss,
-            aligned.pair_slot,
-            pre.means2d,
-            pre.conics,
-            opacities,
-            pre.colors,
-            grid_w=gw,
-            grid_h=gh,
-            chunk=cfg.pallas_chunk,
-            group=cfg.pallas_group,
-        )
-    elif cfg.use_pallas():
+    if cfg.use_pallas():
         from .binning import align_pairs
         from .pallas_blend import blend_tiles_pallas
 

@@ -167,27 +167,43 @@ def test_viewer_endpoints():
         srv.stop()
 
 
-def test_align_pairs_grouped_layout():
+def test_sort_expand_pack_layout():
+    """Fused binning layout (interpret-mode realign): expansion order, the
+    stable (tile, depth) sort, slot/gid rows, and group ranges."""
+    import jax
     import jax.numpy as jnp
 
-    from gsdf_slam_tpu.ops.binning import Binned, align_pairs_grouped
+    from gsdf_slam_tpu.ops.pallas_binning import sort_expand_pack
 
-    # 5 tiles, group=4, chunk=4: pairs sorted by tile
-    pt = jnp.asarray(np.array([0, 0, 1, 2, 2, 2, 4, 4, 7, 7, 7, 7], np.int32))
-    pg = jnp.arange(12, dtype=jnp.int32)
-    b = Binned(pair_tile=pt, pair_gauss=pg, total_pairs=jnp.int32(12))
-    al = align_pairs_grouped(b, num_gaussians=100, num_tiles=8, chunk=4, group=4)
-    r = np.asarray(al.ranges)
-    # group 0 = tiles 0..3: 6 pairs -> aligned 8; group 1 = tiles 4..7: 6 pairs
-    assert r[1, 0] == 6 and r[1, 1] == 6
-    assert r[0, 0] == 0 and r[0, 1] == 8
-    ag = np.asarray(al.pair_gauss)
-    asl = np.asarray(al.pair_slot)
-    np.testing.assert_array_equal(ag[:6], np.arange(6))
-    assert np.all(ag[6:8] == 100)  # sentinel padding inside group 0
-    np.testing.assert_array_equal(ag[8:14], np.arange(6, 12))
-    np.testing.assert_array_equal(asl[:6], [0, 0, 1, 2, 2, 2])
-    np.testing.assert_array_equal(asl[8:14], [0, 0, 3, 3, 3, 3])
+    # grid 4x2 (8 tiles), one group of 8; three gaussians:
+    # g0 tiles {0,1} depth 2, g1 tile {1} depth 1, g2 tiles {0,4} depth 3
+    depths = jnp.asarray([2.0, 1.0, 3.0], jnp.float32)
+    rect_min = jnp.asarray([[0, 0], [1, 0], [0, 0]], jnp.int32)
+    rect_max = jnp.asarray([[2, 1], [2, 1], [1, 2]], jnp.int32)
+    tiles = jnp.asarray([2, 1, 2], jnp.int32)
+    means2d = jnp.asarray([[8.0, 8.0], [24.0, 8.0], [8.0, 8.0]], jnp.float32)
+    conics = jnp.tile(jnp.asarray([[1e-3, 0.0, 1e-3]], jnp.float32), (3, 1))
+    opac = jnp.ones(3, jnp.float32)
+    colors = jnp.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
+
+    sp = jax.jit(
+        lambda *a: sort_expand_pack(
+            *a, grid_w=4, grid_h=2, max_pairs=256, chunk=128, group=8
+        )
+    )(depths, rect_min, rect_max, tiles, means2d, conics, opac, colors)
+    assert int(sp.total_pairs) == 5
+    r = np.asarray(sp.ranges)
+    assert r[0, 0] == 0 and r[1, 0] == 5
+    gid = np.asarray(
+        jax.lax.bitcast_convert_type(sp.pairs[10], jnp.int32)
+    )
+    slot = np.asarray(sp.pairs[9]).astype(np.int32)
+    # sorted: tile0 [g0(d2), g2(d3)], tile1 [g1(d1), g0(d2)], tile4 [g2]
+    np.testing.assert_array_equal(gid[:5], [0, 2, 1, 0, 2])
+    np.testing.assert_array_equal(slot[:5], [0, 0, 1, 1, 4])
+    # payload rode along: row 0 is means2d.x, rows 6..8 are colors
+    np.testing.assert_allclose(np.asarray(sp.pairs[0])[:5], [8, 8, 24, 8, 8])
+    np.testing.assert_allclose(np.asarray(sp.pairs[6])[:5], [1, 0, 0, 1, 0])
 
 
 def test_psnr_gaussian_splatting():
