@@ -36,6 +36,7 @@ from ..io.ply import (
     ply_dict_to_gaussians,
     read_ply,
     write_ply,
+    write_sparse_points_ply,
 )
 from ..models.gaussian_model import (
     GaussianState,
@@ -94,6 +95,12 @@ class GaussianMapper:
         # reference's run() forces the max degree every iteration
         # (gaussian_mapper.cpp:375); None means "max" here too.
         self.active_sh_degree: int | None = None
+        # Sparse tracker-point accumulator for saveSparsePointsPly
+        # (sparse_points_xyz_/color_, include/gaussian_model.h:164-165; the
+        # accumulation the reference comments out at gaussian_model.cpp:
+        # 237-246 — kept live here, fed only from the SLAM keyframe feed).
+        self.sparse_points_xyz: list[np.ndarray] = []
+        self.sparse_points_color: list[np.ndarray] = []
         from ..utils.observability import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -419,6 +426,15 @@ class GaussianMapper:
         nothing for pure monocular). Returns the registered keyframe;
         call train_for_one_iteration() to optimize.
         """
+        if points is not None and len(points):
+            # Tracker map points: accumulate for input.ply
+            # (saveSparsePointsPly, gaussian_model.cpp:955-996).
+            self.sparse_points_xyz.append(np.asarray(points, np.float32))
+            self.sparse_points_color.append(
+                np.asarray(colors, np.float32)
+                if colors is not None
+                else np.zeros_like(np.asarray(points, np.float32))
+            )
         if depth is not None and points is None:
             from ..data.replica import backproject_depth
 
@@ -616,6 +632,12 @@ class GaussianMapper:
                 }
             )
         base.mkdir(parents=True, exist_ok=True)
+        if self.sparse_points_xyz:
+            write_sparse_points_ply(
+                base / "input.ply",
+                np.concatenate(self.sparse_points_xyz, axis=0),
+                np.concatenate(self.sparse_points_color, axis=0),
+            )
         (base / "cameras.json").write_text(json.dumps(cams))
         (base / "cfg_args").write_text(
             "Namespace(eval=False, images='images', model_path='{}', "

@@ -82,20 +82,52 @@ def read_ply(path: str | Path) -> dict[str, np.ndarray]:
 
 
 def write_ply(path: str | Path, props: dict[str, np.ndarray]) -> None:
-    """Write vertex-only binary_little_endian PLY."""
+    """Write vertex-only binary_little_endian PLY.
+
+    Properties already typed uint8 stay uint8 (`property uchar`); everything
+    else is written as float32, matching tinyply's typed-column behavior."""
     names = list(props)
     n = len(props[names[0]])
-    dtype = np.dtype([(k, "<f4") for k in names])
+    cols = {}
+    fields = []
+    for k in names:
+        a = np.asarray(props[k]).reshape(n)
+        if a.dtype == np.uint8:
+            cols[k] = a
+            fields.append((k, "u1", "uchar"))
+        else:
+            cols[k] = a.astype(np.float32)
+            fields.append((k, "<f4", "float"))
+    dtype = np.dtype([(k, t) for k, t, _ in fields])
     rec = np.zeros(n, dtype=dtype)
     for k in names:
-        rec[k] = np.asarray(props[k], np.float32).reshape(n)
+        rec[k] = cols[k]
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
-    header += [f"property float {k}" for k in names]
+    header += [f"property {ply_t} {k}" for k, _, ply_t in fields]
     header += ["end_header", ""]
     os.makedirs(os.path.dirname(str(path)) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write("\n".join(header).encode("ascii"))
         f.write(rec.tobytes())
+
+
+def write_sparse_points_ply(
+    path: str | Path, xyz: np.ndarray, colors: np.ndarray
+) -> None:
+    """Sparse tracker-point export (GaussianModel::saveSparsePointsPly,
+    reference src/gaussian_model.cpp:955-996): x y z float32, zero normals,
+    red green blue uint8 (colors in [0,1] scaled by 255)."""
+    xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
+    n = xyz.shape[0]
+    rgb = (np.asarray(colors, np.float32).reshape(-1, 3) * 255.0).astype(np.uint8)
+    props: dict[str, np.ndarray] = {
+        "x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2],
+        "nx": np.zeros(n, np.float32),
+        "ny": np.zeros(n, np.float32),
+        "nz": np.zeros(n, np.float32),
+        "red": rgb[:, 0], "green": rgb[:, 1], "blue": rgb[:, 2],
+    }
+    write_ply(path, props)
 
 
 def gaussians_to_ply_dict(

@@ -37,6 +37,19 @@ SH_C3 = (
     1.445305721320277,
     -0.5900435899266435,
 )
+# Degree-4 constants (reference include/sh_utils.h:52-61). The models the
+# reference trains are degree 3; degree 4 exists only on the eval_sh surface.
+SH_C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
 
 MAX_SH_DEGREE = 3
 NUM_SH_COEFFS = (MAX_SH_DEGREE + 1) ** 2  # 16
@@ -57,11 +70,12 @@ def sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
 
     Args:
       dirs: [..., 3] unit view directions (gaussian_center - cam_pos, normed).
-      degree: active SH degree in [0, 3] (static).
+      degree: active SH degree in [0, 4] (static).
 
     Returns:
       [..., (degree+1)**2] basis, ordered to match the reference layout where
-      coefficient 0 is the DC term and 1.. follow forward.cu:64-85.
+      coefficient 0 is the DC term and 1.. follow forward.cu:64-85
+      (degree 4 per include/sh_utils.h:121-134).
     """
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     one = jnp.ones_like(x)
@@ -90,7 +104,46 @@ def sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
             SH_C3[5] * z * (xx - yy),
             SH_C3[6] * x * (xx - 3.0 * yy),
         ]
+    if degree > 3:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        terms += [
+            SH_C4[0] * xy * (xx - yy),
+            SH_C4[1] * yz * (3.0 * xx - yy),
+            SH_C4[2] * xy * (7.0 * zz - 1.0),
+            SH_C4[3] * yz * (7.0 * zz - 3.0),
+            SH_C4[4] * (zz * (35.0 * zz - 30.0) + 3.0),
+            SH_C4[5] * xz * (7.0 * zz - 3.0),
+            SH_C4[6] * (xx - yy) * (7.0 * zz - 1.0),
+            SH_C4[7] * xz * (xx - 3.0 * yy),
+            SH_C4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
+        ]
     return jnp.stack(terms, axis=-1)
+
+
+def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate SH at unit directions (reference include/sh_utils.h:64-136).
+
+    Matches the reference `eval_sh` surface exactly: degree 0..4, NO +0.5
+    offset and NO clamp (those belong to computeColorFromSH, see
+    eval_sh_color).
+
+    Args:
+      deg: SH degree in [0, 4] (static).
+      sh: [..., C, (deg+1)**2] coefficients (channel-major like the
+        reference's torch layout).
+      dirs: [..., 3] unit directions.
+
+    Returns:
+      [..., C].
+    """
+    if not (0 <= deg <= 4):
+        raise ValueError(f"deg must be in [0, 4], got {deg}")
+    coeff = (deg + 1) ** 2
+    if sh.shape[-1] < coeff:
+        raise ValueError(f"sh has {sh.shape[-1]} coeffs, need >= {coeff}")
+    basis = sh_basis(dirs, deg)  # [..., K]
+    return jnp.sum(sh[..., :coeff] * basis[..., None, :], axis=-1)
 
 
 def eval_sh_color(

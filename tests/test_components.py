@@ -118,6 +118,11 @@ def test_feed_keyframe_slam_mode():
     assert int(m.state.count) > 0
     out = m.train_for_one_iteration()
     assert out is not None and np.isfinite(out["loss"])
+    # sparse tracker points accumulate for input.ply (sparse PLY export)
+    pts = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+    m.feed_keyframe(1, np.eye(4, dtype=np.float32), img, points=pts,
+                    colors=np.full((50, 3), 0.5, np.float32))
+    assert len(m.sparse_points_xyz) == 1 and len(m.sparse_points_xyz[0]) == 50
 
 
 def test_undistort_mask():
@@ -215,3 +220,66 @@ def test_psnr_gaussian_splatting():
     mse = ((a - b).reshape(3, -1) ** 2).mean(1)
     want = (20 * np.log10(1 / np.sqrt(mse))).mean()
     assert abs(float(psnr_gaussian_splatting(a, b)) - want) < 1e-4
+
+
+def test_eval_sh_degree4_matches_reference_formula():
+    """eval_sh parity with include/sh_utils.h:64-136 at degree 4, via an
+    independent numpy transcription of the reference polynomial."""
+    import jax.numpy as jnp
+
+    from gsdf_slam_tpu.ops.sh import SH_C0, SH_C4, eval_sh, sh_basis
+
+    rng = np.random.default_rng(3)
+    dirs = rng.normal(size=(32, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    sh = rng.normal(size=(32, 3, 25)).astype(np.float32)
+
+    out = np.asarray(eval_sh(4, jnp.asarray(sh), jnp.asarray(dirs)))
+
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    deg3 = np.asarray(sh_basis(jnp.asarray(dirs), 3))  # already tested vs fwd.cu
+    basis4 = np.stack(
+        [
+            SH_C4[0] * xy * (xx - yy),
+            SH_C4[1] * yz * (3 * xx - yy),
+            SH_C4[2] * xy * (7 * zz - 1),
+            SH_C4[3] * yz * (7 * zz - 3),
+            SH_C4[4] * (zz * (35 * zz - 30) + 3),
+            SH_C4[5] * xz * (7 * zz - 3),
+            SH_C4[6] * (xx - yy) * (7 * zz - 1),
+            SH_C4[7] * xz * (xx - 3 * yy),
+            SH_C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
+        ],
+        axis=-1,
+    )
+    expect = np.einsum("nck,nk->nc", sh[:, :, :16], deg3) + np.einsum(
+        "nck,nk->nc", sh[:, :, 16:25], basis4
+    )
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+    # degree-0 path is the bare C0 term, no +0.5 offset (unlike eval_sh_color)
+    out0 = np.asarray(eval_sh(0, jnp.asarray(sh[:, :, :1]), jnp.asarray(dirs)))
+    np.testing.assert_allclose(out0, SH_C0 * sh[:, :, 0], rtol=1e-6)
+
+
+def test_sparse_points_ply_roundtrip(tmp_path):
+    """saveSparsePointsPly layout (gaussian_model.cpp:955-996): float32
+    xyz+normals, uint8 rgb scaled by 255."""
+    from gsdf_slam_tpu.io.ply import read_ply, write_sparse_points_ply
+
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(17, 3)).astype(np.float32)
+    col = rng.uniform(0, 1, (17, 3)).astype(np.float32)
+    p = tmp_path / "input.ply"
+    write_sparse_points_ply(p, xyz, col)
+    props = read_ply(p)
+    np.testing.assert_allclose(
+        np.stack([props["x"], props["y"], props["z"]], -1), xyz, rtol=1e-6
+    )
+    assert props["red"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        np.stack([props["red"], props["green"], props["blue"]], -1),
+        (col * 255.0).astype(np.uint8),
+    )
+    assert np.all(props["nx"] == 0)
