@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--output", default="results/kitti")
     ap.add_argument("--viewer", action="store_true", help="serve the web viewer on :8090")
     ap.add_argument("--sky-mask", default=None, help="precomputed sky mask png (white = sky)")
+    ap.add_argument("--skyseg-onnx", default=None, help="sky-segmentation ONNX model for live per-frame masking")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--capacity", type=int, default=1 << 19)
     ap.add_argument("--max-pairs", type=int, default=1 << 20)
@@ -39,6 +40,10 @@ def main():
     settings = (
         MapperSettings.from_yaml(args.config) if args.config else MapperSettings()
     )
+    if args.skyseg_onnx:
+        import dataclasses
+
+        settings = dataclasses.replace(settings, skyseg_onnx_path=args.skyseg_onnx)
     sky = None
     if args.sky_mask:
         import cv2

@@ -74,6 +74,14 @@ class GaussianMapper:
         self.max_pairs = max_pairs
         self.ingest_capacity = ingest_capacity
         self.sky_mask = sky_mask  # [H, W] bool, True = sky (blacked out)
+        # Live sky-segmentation inference (gaussian_mapper.cpp:57-66,
+        # 221-272) through the in-repo ONNX executor; the precomputed
+        # sky_mask above takes precedence when both are configured.
+        self.sky_segmenter = None
+        if self.settings.skyseg_onnx_path:
+            from ..skyseg import SkySegmenter
+
+            self.sky_segmenter = SkySegmenter(self.settings.skyseg_onnx_path)
 
         self.scene = Scene()
         self.state: GaussianState | None = None
@@ -133,8 +141,12 @@ class GaussianMapper:
 
         image = frame.image
         mask = None
+        sky = None
         if self.sky_mask is not None:
             sky = self.sky_mask
+        elif self.sky_segmenter is not None:
+            sky = self.sky_segmenter(image)
+        if sky is not None:
             if sky.shape[:2] != image.shape[:2]:
                 import cv2
 

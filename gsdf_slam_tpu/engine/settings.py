@@ -110,4 +110,7 @@ class MapperSettings:
             prune_big_point_after_iter=int(g("Optimization.prune_big_point_after_iter", 30_000)),
             densify_min_opacity=float(g("Optimization.densify_min_opacity", 0.005)),
             viewer_image_scale=float(g("GaussianViewer.image_scale", 1.0)),
+            # The reference hardcodes /home/.../skyseg.onnx
+            # (gaussian_mapper.cpp:65); a config key is the sane surface.
+            skyseg_onnx_path=str(g("Mapper.skyseg_onnx_path", "")),
         )
