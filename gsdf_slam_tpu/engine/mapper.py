@@ -43,6 +43,7 @@ from ..models.gaussian_model import (
     create_from_pcd,
     densify_and_prune,
     increase_pcd,
+    prune_young,
     reset_opacity,
     with_capacity,
 )
@@ -52,7 +53,7 @@ from ..ops.transforms import CameraMatrices
 from .keyframe import Camera, Keyframe, rot_to_quat_wxyz
 from .scene import Scene
 from .settings import MapperSettings
-from .train import LiveOptValues, render_state, train_step
+from .train import LiveOptValues, render_depth_state, render_state, train_step
 
 
 class GaussianMapper:
@@ -109,6 +110,13 @@ class GaussianMapper:
         # 237-246 — kept live here, fed only from the SLAM keyframe feed).
         self.sparse_points_xyz: list[np.ndarray] = []
         self.sparse_points_color: list[np.ndarray] = []
+        # Monocular inactive-geo densify depth cache (depth_cached_/
+        # depth_cache_points_/depth_cache_colors_, include/gaussian_mapper.h:
+        # 259-262): pseudo-depth point clouds pooled across keyframes and
+        # flushed into increase_pcd every max_depth_cached keyframes.
+        self.depth_cached = 0
+        self.depth_cache_points: list[np.ndarray] = []
+        self.depth_cache_colors: list[np.ndarray] = []
         from ..utils.observability import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -438,6 +446,7 @@ class GaussianMapper:
         nothing for pure monocular). Returns the registered keyframe;
         call train_for_one_iteration() to optimize.
         """
+        is_mono = depth is None
         if points is not None and len(points):
             # Tracker map points: accumulate for input.ply
             # (saveSparsePointsPly, gaussian_model.cpp:955-996).
@@ -468,7 +477,161 @@ class GaussianMapper:
             colors=colors if colors is not None else np.zeros_like(points),
             image=np.asarray(image, np.float32),
         )
-        return self.ingest_frame(fid, frame)
+        kf = self.ingest_frame(fid, frame)
+        if is_mono and self.settings.do_inactive_geo_densify:
+            self._inactive_geo_densify(
+                kf, sparse_world=points if len(points) else None
+            )
+        return kf
+
+    # ----------------------------------------- inactive-geometry densify
+    def _inactive_geo_densify(
+        self, kf: Keyframe, sparse_world: np.ndarray | None = None
+    ) -> None:
+        """Monocular inactive-geometry densification.
+
+        The fork retains only the machinery members for this Photo-SLAM
+        operating mode (include/gaussian_mapper.h:252-262:
+        monocular_inactive_geo_densify_max_pixel_dist_, inactive_geo_densify_,
+        depth_cached_/max_depth_cached_, depth_cache_points_/colors_) — the
+        implementation left with the ORB-SLAM3 integration. This rebuild
+        reconstructs the behavior: grow geometry for a mono keyframe from a
+        pseudo-depth image assembled from
+
+          (a) the tracker's sparse map-point depths, propagated to nearby
+              pixels within max_pixel_dist,
+          (b) the model's own rendered expected depth where it has coverage
+              (the "inactive geometry" — structure mapped from earlier
+              keyframes), and
+          (c) a flat bootstrap prior when neither exists yet,
+
+        cached across max_depth_cached keyframes, then flushed through
+        increasePcd whose voxel-hash dedup drops re-observations.
+        """
+        s = self.settings
+        h, w = kf.image.shape[:2]
+        stride = max(4, min(h, w) // 60)
+        ys, xs = np.mgrid[stride // 2 : h : stride, stride // 2 : w : stride]
+        gy = ys.reshape(-1).astype(np.int64)
+        gx = xs.reshape(-1).astype(np.int64)
+        depth = np.full(gy.shape, np.nan, np.float32)
+        cam = kf.camera
+
+        if sparse_world is not None and len(sparse_world):
+            t = kf.t_cw.astype(np.float64)
+            pc = np.asarray(sparse_world, np.float64) @ t[:3, :3].T + t[:3, 3]
+            z = pc[:, 2]
+            ok = z > 0.2
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = cam.fx * pc[:, 0] / z + cam.cx
+                v = cam.fy * pc[:, 1] / z + cam.cy
+            ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+            su, sv, sz = u[ok], v[ok], z[ok]
+            if len(sz):
+                d2 = (gx[:, None] - su[None, :]) ** 2 + (
+                    gy[:, None] - sv[None, :]
+                ) ** 2
+                j = np.argmin(d2, axis=1)
+                dmin = d2[np.arange(len(gx)), j]
+                near = dmin <= s.inactive_geo_densify_max_pixel_dist**2
+                depth[near] = sz[j[near]].astype(np.float32)
+
+        todo = ~np.isfinite(depth)
+        if np.any(todo) and self.initial_mapped and int(self.state.count) > 0:
+            dep, cov = render_depth_state(
+                self.state,
+                kf.camera_matrices(s.z_near, s.z_far),
+                self._raster_cfg(h, w),
+            )
+            dep, cov = np.asarray(dep), np.asarray(cov)
+            dsel = dep[gy[todo], gx[todo]]
+            csel = cov[gy[todo], gx[todo]]
+            good = (csel > 0.5) & (dsel > 0.2)
+            idx = np.where(todo)[0][good]
+            depth[idx] = dsel[good]
+
+        if not np.any(np.isfinite(depth)):
+            depth[:] = s.monocular_init_depth
+
+        ok = np.isfinite(depth) & (depth > 0.2)
+        if not np.any(ok):
+            return
+        zc = depth[ok].astype(np.float64)
+        xc = (gx[ok] - cam.cx) / cam.fx * zc
+        yc = (gy[ok] - cam.cy) / cam.fy * zc
+        pts_cam = np.stack([xc, yc, zc], axis=-1)
+        c2w = np.linalg.inv(kf.t_cw.astype(np.float64))
+        pts_w = (pts_cam @ c2w[:3, :3].T + c2w[:3, 3]).astype(np.float32)
+        cols = kf.image[gy[ok], gx[ok]].astype(np.float32)
+
+        self.depth_cache_points.append(pts_w)
+        self.depth_cache_colors.append(cols)
+        self.depth_cached += 1
+        if self.depth_cached >= max(1, s.max_depth_cached):
+            pts = np.concatenate(self.depth_cache_points, axis=0)
+            cs = np.concatenate(self.depth_cache_colors, axis=0)
+            self.depth_cache_points = []
+            self.depth_cache_colors = []
+            self.depth_cached = 0
+            self._ingest_points(pts, cs)
+
+    def _ingest_points(self, points: np.ndarray, colors: np.ndarray) -> None:
+        """Grow the model from host arrays, chunked through the padded
+        ingest buffer (increasePcd path, voxel-hash dedup applies)."""
+        for i in range(0, len(points), self.ingest_capacity):
+            pts, cols, valid = self._pad_cloud(
+                points[i : i + self.ingest_capacity],
+                colors[i : i + self.ingest_capacity],
+            )
+            self._ensure_capacity(int(np.sum(np.asarray(valid))))
+            self.state, self.adam, _ = increase_pcd(
+                self.state, self.adam, pts, cols, valid, jnp.int32(self.iteration)
+            )
+
+    # ------------------------------------------------ tracker pose updates
+    def update_keyframe_pose(self, fid: int, t_wc: np.ndarray) -> None:
+        """Apply a tracker pose correction (local BA / loop closure).
+
+        When the correction is large (large_rot_th_/large_trans_th_,
+        gaussian_mapper.cpp:17-18, Mapper.large_{rotation,translation}_
+        threshold in the SLAM configs, rotation in degrees), Gaussians
+        younger than stable_num_iter_existence were trained against poses
+        that just moved and are pruned (include/gaussian_mapper.h:275).
+        """
+        kf = self.scene.keyframes.get(fid)
+        if kf is None:
+            return
+        from ..utils import rotation_angle
+
+        new_tcw = np.linalg.inv(np.asarray(t_wc, np.float64)).astype(np.float32)
+        rel_r = new_tcw[:3, :3].astype(np.float64) @ kf.t_cw[:3, :3].astype(np.float64).T
+        ang_deg = math.degrees(rotation_angle(rel_r))
+        dtr = float(
+            np.linalg.norm(
+                np.asarray(t_wc, np.float64)[:3, 3]
+                - np.linalg.inv(kf.t_cw.astype(np.float64))[:3, 3]
+            )
+        )
+        kf.t_cw = new_tcw
+        kf._cam_matrices = None
+        self._gt_cache.clear()
+        s = self.settings
+        if (
+            ang_deg > s.large_rotation_threshold
+            or dtr > s.large_translation_threshold
+        ):
+            self.on_large_pose_change()
+
+    def on_large_pose_change(self) -> None:
+        """Existence pruning after a big pose update (loop closure)."""
+        s = self.settings
+        if s.stable_num_iter_existence > 0 and self.initial_mapped:
+            self.state, self.adam = prune_young(
+                self.state,
+                self.adam,
+                jnp.int32(self.iteration),
+                jnp.int32(s.stable_num_iter_existence),
+            )
 
     def _intr_from_image(self, image: np.ndarray):
         from ..data import CameraIntrinsics
@@ -499,6 +662,8 @@ class GaussianMapper:
             new_kf_times_of_use=s.new_keyframe_times_of_use,
             keep_training=not self._stopped,
             do_gaus_pyramid_training=s.do_gaus_pyramid_training,
+            do_inactive_geo_densify=s.do_inactive_geo_densify,
+            stable_num_iter_existence=s.stable_num_iter_existence,
         )
 
     def set_variable_parameters(self, p) -> None:
@@ -524,6 +689,8 @@ class GaussianMapper:
             ),
             new_keyframe_times_of_use=p.new_kf_times_of_use,
             do_gaus_pyramid_training=p.do_gaus_pyramid_training,
+            do_inactive_geo_densify=p.do_inactive_geo_densify,
+            stable_num_iter_existence=p.stable_num_iter_existence,
         )
         if not p.keep_training:
             self.signal_stop()

@@ -57,6 +57,15 @@ class MapperSettings:
     densify_min_opacity: float = 0.005
     viewer_image_scale: float = 1.0
     skyseg_onnx_path: str = ""  # optional; reference hardcodes skyseg.onnx
+    # SLAM-era machinery (include/gaussian_mapper.h:252-275 members; the
+    # fork keeps the knobs and the Photo-SLAM configs set them).
+    do_inactive_geo_densify: bool = True  # inactive_geo_densify_ = true (:258)
+    max_depth_cached: int = 1  # max_depth_cached_ = 1 (:260)
+    inactive_geo_densify_max_pixel_dist: float = 20.0  # (:252)
+    monocular_init_depth: float = 2.0  # bootstrap prior when no geometry yet
+    stable_num_iter_existence: int = 0  # 0 = disabled (:275)
+    large_rotation_threshold: float = 0.1  # ctor default (gaussian_mapper.cpp:17)
+    large_translation_threshold: float = 0.01  # (:18)
 
     @staticmethod
     def from_yaml(path: str | Path) -> "MapperSettings":
@@ -113,4 +122,15 @@ class MapperSettings:
             # The reference hardcodes /home/.../skyseg.onnx
             # (gaussian_mapper.cpp:65); a config key is the sane surface.
             skyseg_onnx_path=str(g("Mapper.skyseg_onnx_path", "")),
+            do_inactive_geo_densify=bool(g("Mapper.inactive_geo_densify", 1)),
+            max_depth_cached=int(g("Mapper.depth_cache", 1)),
+            inactive_geo_densify_max_pixel_dist=float(
+                g("Monocular.inactive_geo_densify_max_pixel_dist", 20.0)
+            ),
+            monocular_init_depth=float(g("Monocular.init_depth", 2.0)),
+            stable_num_iter_existence=int(g("Mapper.stable_num_iter_existence", 0)),
+            large_rotation_threshold=float(g("Mapper.large_rotation_threshold", 0.1)),
+            large_translation_threshold=float(
+                g("Mapper.large_translation_threshold", 0.01)
+            ),
         )

@@ -87,6 +87,44 @@ def render_state(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_depth_state(
+    state: GaussianState,
+    cam: CameraMatrices,
+    cfg: RasterizeConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Expected-depth render: alpha-blend per-Gaussian camera-space z via the
+    override-color path (the reference's override_color_ input slot,
+    gaussian_renderer.cpp:79-115).
+
+    Returns (depth [H,W], coverage [H,W]); depth = sum(w_i z_i)/coverage is
+    only meaningful where coverage = 1 - final_T is away from 0.
+    """
+    v = cam.view
+    z = (
+        v[2, 0] * state.xyz[:, 0]
+        + v[2, 1] * state.xyz[:, 1]
+        + v[2, 2] * state.xyz[:, 2]
+        + v[2, 3]
+    )
+    out = render(
+        state.xyz,
+        state.scaling_act(),
+        state.rotation_act(),
+        state.opacity_act()[:, 0],
+        state.f_dc,
+        state.f_rest,
+        state.alive,
+        cam,
+        jnp.zeros(3),
+        cfg,
+        colors_precomp=jnp.broadcast_to(z[:, None], (z.shape[0], 3)),
+    )
+    coverage = 1.0 - out.final_t
+    depth = out.image[..., 0] / jnp.maximum(coverage, 1e-6)
+    return depth, coverage
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "opt", "accumulate_stats")
 )

@@ -344,6 +344,28 @@ def increase_pcd(
     return _append(state, adam, new_p, exist, keep)
 
 
+@jax.jit
+def prune_young(
+    state: GaussianState,
+    adam: AdamState,
+    iteration: jnp.ndarray,
+    stable_num_iter: jnp.ndarray,
+) -> tuple[GaussianState, AdamState]:
+    """Loop-closure-era existence pruning: drop Gaussians younger than
+    `stable_num_iter` iterations.
+
+    The reference tracks creation iteration in exist_since_iter_
+    (include/gaussian_model.h:151) and carries the stable_num_iter_existence_
+    gate (include/gaussian_mapper.h:275, Mapper.stable_num_iter_existence in
+    every SLAM config); after a large pose correction the not-yet-stable
+    Gaussians were optimized against now-wrong poses and are removed.
+    """
+    young = state.alive & (
+        state.exist_since_iter > iteration - stable_num_iter
+    )
+    return _prune(state, adam, young)
+
+
 def reset_opacity(
     state: GaussianState, adam: AdamState
 ) -> tuple[GaussianState, AdamState]:
