@@ -121,6 +121,9 @@ class CameraIntrinsics:
     cy: float
     width: int
     height: int
+    # radtan distortion coefficients (camera.h:31-70 dist_coeff_); None or
+    # all-zero means the images are already rectified.
+    dist: np.ndarray | None = None
 
 
 @dataclasses.dataclass

@@ -81,6 +81,7 @@ class Keyframe:
     mask: np.ndarray | None = None  # [H, W] training mask (undistort/sky)
     remaining_times_of_use: int = 0
     pyramid_images: list[np.ndarray] = dataclasses.field(default_factory=list)
+    pyramid_masks: list[np.ndarray] = dataclasses.field(default_factory=list)
     pyramid_times_of_use: list[int] = dataclasses.field(default_factory=list)
     created_at_iter: int = 0
 

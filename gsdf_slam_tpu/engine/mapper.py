@@ -117,6 +117,10 @@ class GaussianMapper:
         self.depth_cached = 0
         self.depth_cache_points: list[np.ndarray] = []
         self.depth_cache_colors: list[np.ndarray] = []
+        # Per-camera undistortion (undistort_mask_ maps, gaussian_mapper.cpp:
+        # 172-204), built lazily at ingest when distortion is present.
+        self._undistorters: dict[int, object] = {}
+        self._feed_intrinsics = None  # intrinsics passed via feed_keyframe
         from ..utils.observability import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -140,6 +144,8 @@ class GaussianMapper:
     def ingest_frame(self, fid: int, frame: FrameData) -> Keyframe:
         """Register camera+keyframe and grow the model from the new cloud."""
         intr = self.dataloader.frames.intrinsics if self.dataloader else None
+        if intr is None:
+            intr = self._feed_intrinsics
         h, w = frame.image.shape[:2]
         if intr is not None:
             cam = Camera(fid, intr.fx, intr.fy, intr.cx, intr.cy, w, h)
@@ -149,6 +155,26 @@ class GaussianMapper:
 
         image = frame.image
         mask = None
+
+        # Undistortion (gaussian_mapper.cpp:172-204, camera.h:72-105): when
+        # the camera carries distortion, build remap maps + the white-image
+        # mask once per camera, train on the undistorted image, and mask the
+        # black remap edges out of the loss (:415-417).
+        dist = getattr(intr, "dist", None) if intr is not None else None
+        if dist is not None and np.any(np.asarray(dist) != 0):
+            und = self._undistorters.get(cam.camera_id)
+            if und is None:
+                from .camera_undistort import UndistortRectifier
+
+                k = np.array(
+                    [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                    np.float64,
+                )
+                und = UndistortRectifier(k, np.asarray(dist, np.float64), w, h)
+                self._undistorters[cam.camera_id] = und
+            image = und.undistort(image).astype(np.float32)
+            mask = und.mask
+
         sky = None
         if self.sky_mask is not None:
             sky = self.sky_mask
@@ -165,7 +191,8 @@ class GaussianMapper:
             image = np.where(sky[..., None], 0.0, image).astype(np.float32)
             # KITTI-mode quirk (gaussian_mapper.cpp:273-275): the training
             # mask is the masked image itself, tested as mask > 0.
-            mask = (~sky).astype(np.float32)
+            sky_keep = (~sky).astype(np.float32)
+            mask = sky_keep if mask is None else mask * sky_keep
 
         t_cw = np.linalg.inv(frame.cam_pose.astype(np.float64)).astype(np.float32)
         kf = Keyframe(
@@ -186,9 +213,19 @@ class GaussianMapper:
             ] * nl
             for lvl in range(nl):
                 f = 0.5 ** (nl - lvl)
+                lw, lh = int(w * f), int(h * f)
                 kf.pyramid_images.append(
-                    cv2.resize(image, (int(w * f), int(h * f))).astype(np.float32)
+                    cv2.resize(image, (lw, lh)).astype(np.float32)
                 )
+                if mask is not None:
+                    # gaus_pyramid_undistort_mask_ (camera.h:103-105): the
+                    # loss mask exists at every pyramid level, not just
+                    # full resolution.
+                    kf.pyramid_masks.append(
+                        cv2.resize(
+                            mask, (lw, lh), interpolation=cv2.INTER_NEAREST
+                        ).astype(np.float32)
+                    )
         self.scene.add_keyframe(kf)
         self._kfid_shuffle = []  # re-shuffle on next sample
 
@@ -304,8 +341,13 @@ class GaussianMapper:
         cfg = self._raster_cfg(h, w)
         gt = self._gt_device(kf, level, n_levels)
         mask = None
-        if kf.mask is not None and level >= n_levels:
-            mask = jnp.asarray(kf.mask)
+        if level >= n_levels or not kf.pyramid_images:
+            if kf.mask is not None:
+                mask = jnp.asarray(kf.mask)
+        elif kf.pyramid_masks:
+            # level-appropriate undistort/sky mask (gaus_pyramid_undistort_
+            # mask_, camera.h:103-105) — sub-levels are masked too.
+            mask = jnp.asarray(kf.pyramid_masks[level])
 
         bg = jnp.ones(3) if s.model.white_background else jnp.zeros(3)
         accumulate = self.iteration < s.opt.densify_until_iter
@@ -446,6 +488,8 @@ class GaussianMapper:
         nothing for pure monocular). Returns the registered keyframe;
         call train_for_one_iteration() to optimize.
         """
+        if intrinsics is not None:
+            self._feed_intrinsics = intrinsics
         is_mono = depth is None
         if points is not None and len(points):
             # Tracker map points: accumulate for input.ply

@@ -141,3 +141,40 @@ def test_render_depth_state():
     covered = cov > 0.5
     assert covered.mean() > 0.3
     np.testing.assert_allclose(depth[covered], 3.0, atol=0.1)
+
+
+def test_undistortion_wired_with_pyramid_masks():
+    """A distorted camera gets undistorted at ingest; the black remap edges
+    are masked at EVERY pyramid level (gaussian_mapper.cpp:172-204, 415-417;
+    camera.h:72-105)."""
+    pytest.importorskip("cv2")
+    from gsdf_slam_tpu.data import CameraIntrinsics
+
+    rng = np.random.default_rng(5)
+    h, w = 48, 64
+    m = _mapper(make_frames(n=1, hw=(h, w)))
+    m.dataloader = None  # SLAM feed path
+    m.settings = dataclasses.replace(
+        m.settings,
+        do_gaus_pyramid_training=True,
+        num_gaus_pyramid_sub_levels=2,
+        gaus_pyramid_sub_level_times_of_use=1,
+        do_inactive_geo_densify=False,
+    )
+    intr = CameraIntrinsics(
+        fx=w / 2, fy=w / 2, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h,
+        dist=np.array([0.4, 0.0, 0.0, 0.0]),  # pincushion -> black corners
+    )
+    img = rng.uniform(0.2, 0.9, (h, w, 3)).astype(np.float32)
+    kf = m.feed_keyframe(0, I4, img, depth=np.full((h, w), 3.0, np.float32),
+                         intrinsics=intr)
+    assert 0 in m._undistorters
+    assert kf.mask is not None
+    assert kf.mask.min() == 0.0 and kf.mask.max() == 1.0  # black corners masked
+    assert len(kf.pyramid_masks) == 2
+    for lvl, pm in enumerate(kf.pyramid_masks):
+        assert pm.shape == kf.pyramid_images[lvl].shape[:2]
+        assert pm.min() == 0.0  # corner masking survives downscale
+    # training at a sub-level applies the level mask (no crash, finite loss)
+    out = m.train_for_one_iteration()
+    assert out is not None and np.isfinite(out["loss"])
