@@ -67,6 +67,7 @@ class GaussianMapper:
         ingest_capacity: int = 1 << 16,
         seed: int = 0,
         sky_mask: np.ndarray | None = None,
+        mesh=None,
     ):
         self.settings = settings or MapperSettings()
         self.dataloader = dataloader
@@ -121,6 +122,12 @@ class GaussianMapper:
         # 172-204), built lazily at ingest when distortion is present.
         self._undistorters: dict[int, object] = {}
         self._feed_intrinsics = None  # intrinsics passed via feed_keyframe
+        # Multi-chip mode: a 1-D jax.sharding.Mesh makes every iteration a
+        # view-parallel batched step (n_devices keyframes, pmean'd grads over
+        # ICI — parallel/sharding.py); densify/prune and capacity growth run
+        # on the replicated state. SURVEY §5.8 design extension.
+        self.mesh = mesh
+        self._sharded_steps: dict = {}
         from ..utils.observability import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -321,9 +328,22 @@ class GaussianMapper:
         return self._gt_cache[key]
 
     def train_for_one_iteration(self) -> dict | None:
-        """trainForOneIteration (:335-468), with densify cadence host-side."""
+        """trainForOneIteration (:335-468), with densify cadence host-side.
+
+        In mesh mode the one "iteration" is a view-parallel batched step
+        (n_devices keyframes at once, identical per-view math)."""
         if not self.initial_mapped:
             return None
+        if self.mesh is not None:
+            res = self._sharded_step_phase()
+        else:
+            res = self._single_step_phase()
+        if res is None:
+            return None
+        loss, psnr_v, count_v, total_pairs = res
+        return self._post_step_phase(loss, psnr_v, count_v, total_pairs)
+
+    def _single_step_phase(self):
         kf = self._use_one_random_sliding_window_keyframe()
         if kf is None:
             return None
@@ -351,17 +371,7 @@ class GaussianMapper:
 
         bg = jnp.ones(3) if s.model.white_background else jnp.zeros(3)
         accumulate = self.iteration < s.opt.densify_until_iter
-        # Live-mutable hyperparameters travel as traced scalars; the static
-        # `opt` key has them normalized to 0.0 so viewer slider edits never
-        # change the jit cache key (no ~100s+ recompile per drag).
-        import dataclasses as _dc
-
-        live = LiveOptValues.from_opt(s.opt)
-        static_opt = _dc.replace(
-            s.opt,
-            position_lr_init=0.0, feature_lr=0.0, opacity_lr=0.0,
-            scaling_lr=0.0, rotation_lr=0.0, lambda_dssim=0.0,
-        )
+        static_opt, live = self._static_opt_and_live()
         prev_state, prev_adam = self.state, self.adam
         for _attempt in range(3):
             with self.timer.phase("train_step"):
@@ -406,7 +416,110 @@ class GaussianMapper:
                 f"{self.max_pairs} and re-rendering"
             )
             cfg = self._raster_cfg(h, w)
+        self._last_kf = kf
+        return loss, psnr_v, count_v, total_pairs
 
+    def _static_opt_and_live(self):
+        """Live-mutable hyperparameters travel as traced scalars; the static
+        `opt` key has them normalized to 0.0 so viewer slider edits never
+        change the jit cache key (no ~100s+ recompile per drag)."""
+        import dataclasses as _dc
+
+        s = self.settings
+        live = LiveOptValues.from_opt(s.opt)
+        static_opt = _dc.replace(
+            s.opt,
+            position_lr_init=0.0, feature_lr=0.0, opacity_lr=0.0,
+            scaling_lr=0.0, rotation_lr=0.0, lambda_dssim=0.0,
+        )
+        return static_opt, live
+
+    def _sharded_step_phase(self):
+        """View-parallel batched step: n_devices keyframes per iteration,
+        full resolution (pyramid sub-level scheduling is a per-view policy
+        and stays single-chip)."""
+        from ..parallel.sharding import batch_cameras, make_sharded_train_step
+
+        s = self.settings
+        n_dev = int(self.mesh.devices.size)
+        kfs = []
+        for _ in range(n_dev):
+            kf = self._use_one_random_sliding_window_keyframe()
+            if kf is None:
+                return None
+            kfs.append(kf)
+        self.iteration += 1
+
+        h, w = kfs[0].image.shape[:2]
+        assert all(kf.image.shape[:2] == (h, w) for kf in kfs), (
+            "mesh mode requires uniform keyframe resolution"
+        )
+        n_levels = s.num_gaus_pyramid_sub_levels
+        gt = jnp.stack([self._gt_device(kf, n_levels, n_levels) for kf in kfs])
+        masks = None
+        if any(kf.mask is not None for kf in kfs):
+            masks = jnp.stack(
+                [
+                    jnp.asarray(kf.mask)
+                    if kf.mask is not None
+                    else jnp.ones((h, w), jnp.float32)
+                    for kf in kfs
+                ]
+            )
+        bg = jnp.ones(3) if s.model.white_background else jnp.zeros(3)
+        accumulate = self.iteration < s.opt.densify_until_iter
+        static_opt, live = self._static_opt_and_live()
+        ash = (
+            None
+            if self.active_sh_degree is None
+            else jnp.int32(self.active_sh_degree)
+        )
+        cams = batch_cameras(
+            [kf.camera_matrices(s.z_near, s.z_far) for kf in kfs]
+        )
+
+        prev_state, prev_adam = self.state, self.adam
+        for _attempt in range(3):
+            cfg = self._raster_cfg(h, w)
+            key = (cfg, static_opt, accumulate)
+            step = self._sharded_steps.get(key)
+            if step is None:
+                step, _ = make_sharded_train_step(
+                    self.mesh, cfg, static_opt, accumulate_stats=accumulate
+                )
+                self._sharded_steps[key] = step
+            with self.timer.phase("train_step"):
+                self.state, self.adam, metrics = step(
+                    prev_state,
+                    prev_adam,
+                    cams,
+                    gt,
+                    masks,
+                    bg,
+                    jnp.int32(self.iteration),
+                    jnp.float32(self.spatial_lr_scale),
+                    live,
+                    ash,
+                )
+            loss, psnr_v, count_v, total_pairs = (
+                np.asarray(x).item()
+                for x in jax.device_get(
+                    (metrics.loss, metrics.psnr, metrics.count, metrics.total_pairs)
+                )
+            )
+            self._autosize_pairs(total_pairs)
+            if total_pairs <= cfg.max_pairs:
+                break
+            print(
+                f"[mapper] WARNING: pair overflow at iter {self.iteration} "
+                f"({total_pairs} > {cfg.max_pairs}); growing to "
+                f"{self.max_pairs} and re-rendering"
+            )
+        self._last_kf = kfs[0]
+        return loss, psnr_v, count_v, total_pairs
+
+    def _post_step_phase(self, loss, psnr_v, count_v, total_pairs) -> dict:
+        s = self.settings
         if self.iteration < s.opt.densify_until_iter:
             if (
                 self.iteration > s.opt.densify_from_iter
@@ -461,7 +574,7 @@ class GaussianMapper:
             and s.keyframe_record_interval
             and self.iteration % s.keyframe_record_interval == 0
         ):
-            self._record_keyframe_images(kf)
+            self._record_keyframe_images(self._last_kf)
         return {
             "loss": loss,
             "psnr": psnr_v,

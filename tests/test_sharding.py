@@ -49,7 +49,10 @@ def test_sharded_step_matches_mean_gradient():
     bs = NamedSharding(mesh, P("dp"))
     cams_b = jax.device_put(batch_cameras(cams), bs)
     gts_b = jax.device_put(gts, bs)
-    s_out, a_out, loss, _ = step(st_r, ad_r, cams_b, gts_b, bg, jnp.int32(1), jnp.float32(1.0))
+    s_out, a_out, metrics = step(
+        st_r, ad_r, cams_b, gts_b, None, bg, jnp.int32(1), jnp.float32(1.0)
+    )
+    loss = metrics.loss
 
     # reference: mean gradient over the 8 views on one device
     def loss_fn(params, cam, gt):
@@ -74,3 +77,43 @@ def test_sharded_step_matches_mean_gradient():
         [float(loss_fn(state.params(), cams[i], gts[i])) for i in range(8)]
     )
     assert abs(float(loss) - mean_loss) < 1e-5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_mapper_mesh_mode_trains_and_densifies():
+    """GaussianMapper(mesh=...) is a real training mode: batched sharded
+    steps, densify/prune + capacity growth on the replicated state."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from test_mapper import _mapper, make_frames
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    frames = make_frames(n=4)
+    m = _mapper(frames)
+    m.mesh = mesh
+    m.settings = dataclasses.replace(
+        m.settings,
+        opt=dataclasses.replace(
+            m.settings.opt,
+            densification_interval=3,
+            densify_from_iter=0,
+            densify_until_iter=100,
+            densify_grad_threshold=1e-8,  # force clones/splits
+            opacity_reset_interval=5,
+        ),
+        new_keyframe_times_of_use=100,
+    )
+    for i, f in enumerate(frames):
+        m.ingest_frame(i, f)
+    n0 = int(m.state.count)
+    losses = []
+    for _ in range(6):
+        out = m.train_for_one_iteration()
+        assert out is not None and np.isfinite(out["loss"])
+        losses.append(out["loss"])
+    assert m.iteration == 6
+    # densify fired at iters 3 and 6 with a ~zero grad threshold -> growth
+    assert int(m.state.count) > n0
+    assert np.isfinite(np.asarray(m.state.xyz)).all()
