@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Quality harness: train the mapper on the synthetic room (RGB-D, known
+poses — the Replica-room0 operating mode, BASELINE config #2) and report
+held-out PSNR/SSIM computed exactly as the reference's loss_utils
+(include/loss_utils.h:33-47 psnr over flattened channels, :110-124 SSIM
+11x11 sigma=1.5).
+
+    python benchmarks/quality.py [--frames 24] [--res 640x360]
+        [--iterations 4000] [--out QUALITY.md]
+
+Writes QUALITY.md + QUALITY.json at the repo root (committed artifacts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def run_quality(
+    n_frames: int,
+    width: int,
+    height: int,
+    iterations: int,
+    capacity: int = 1 << 18,
+    max_pairs: int = 1 << 20,
+    n_eval: int = 8,
+    times_of_use: int = 8,
+    cloud_stride: int = 4,
+    progress: bool = True,
+):
+    import jax.numpy as jnp
+
+    from benchmarks.synthetic_room import make_eval_poses, make_sequence
+    from gsdf_slam_tpu.config import OptimizationParams
+    from gsdf_slam_tpu.data import CameraIntrinsics
+    from gsdf_slam_tpu.engine import GaussianMapper, MapperSettings
+    from gsdf_slam_tpu.ops.losses import psnr_gaussian_splatting, ssim
+
+    # Replica RGB-D schedule (cfg/gaussian_mapper/RGB-D/Replica/office0.yaml:
+    # 27-73): densify interval 100, new-keyframe times-of-use 8.
+    settings = MapperSettings(
+        opt=OptimizationParams(
+            densification_interval=100,
+            densify_from_iter=min(500, max(50, iterations // 6)),
+            densify_until_iter=max(1000, iterations // 2),
+            opacity_reset_interval=3000,
+        ),
+        new_keyframe_times_of_use=times_of_use,
+        do_inactive_geo_densify=False,  # RGB-D mode: dense depth available
+    )
+    mapper = GaussianMapper(
+        settings=settings, capacity=capacity, max_pairs=max_pairs,
+        ingest_capacity=1 << 16,
+    )
+    fov = np.pi / 2
+    fx = 0.5 * width / np.tan(fov / 2)
+    intr = CameraIntrinsics(
+        fx=fx, fy=fx, cx=(width - 1) / 2.0, cy=(height - 1) / 2.0,
+        width=width, height=height,
+    )
+
+    t0 = time.time()
+    frames = make_sequence(n_frames, width, height, fov)
+    for i, (pose, rgb, depth) in enumerate(frames):
+        mapper.feed_keyframe(i, pose, rgb, depth=depth, intrinsics=intr)
+        mapper.train_for_one_iteration()
+    while mapper.iteration < iterations:
+        out = mapper.train_for_one_iteration()
+        if progress and mapper.iteration % 500 == 0:
+            print(
+                f"iter {mapper.iteration}: loss {out['loss']:.4f} "
+                f"train-psnr {out['psnr']:.2f} points {out['count']}"
+            )
+    train_s = time.time() - t0
+
+    from benchmarks.synthetic_room import raycast_room
+
+    psnrs, ssims = [], []
+    for pose in make_eval_poses(n_eval, n_frames):
+        gt, _ = raycast_room(pose, width, height, fov)
+        img = mapper.render_from_pose(
+            np.linalg.inv(pose.astype(np.float64)).astype(np.float32),
+            width, height, fov, fov,
+        )
+        psnrs.append(float(psnr_gaussian_splatting(jnp.asarray(img), jnp.asarray(gt))))
+        ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(gt))))
+    return {
+        "psnr_mean": float(np.mean(psnrs)),
+        "psnr_min": float(np.min(psnrs)),
+        "ssim_mean": float(np.mean(ssims)),
+        "n_eval_views": n_eval,
+        "n_frames": n_frames,
+        "resolution": f"{width}x{height}",
+        "iterations": mapper.iteration,
+        "gaussians": int(mapper.state.count),
+        "train_seconds": round(train_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--res", default="640x360")
+    ap.add_argument("--iterations", type=int, default=4000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    w, h = (int(v) for v in args.res.split("x"))
+
+    import jax
+
+    res = run_quality(args.frames, w, h, args.iterations)
+    res["platform"] = jax.default_backend()
+    print(json.dumps(res))
+
+    root = Path(__file__).resolve().parent.parent
+    (root / "QUALITY.json").write_text(json.dumps(res, indent=2) + "\n")
+    md = f"""# QUALITY — held-out novel-view fidelity
+
+Command: `python benchmarks/quality.py --frames {args.frames} --res {args.res} --iterations {args.iterations}`
+(deterministic synthetic RGB-D room, benchmarks/synthetic_room.py — no
+dataset ships in this environment; this is the committed, re-runnable
+stand-in for the Replica room0 RGB-D quality target in BASELINE.md).
+
+| metric | value |
+|---|---|
+| held-out PSNR (mean over {res['n_eval_views']} views) | **{res['psnr_mean']:.2f} dB** |
+| held-out PSNR (min) | {res['psnr_min']:.2f} dB |
+| held-out SSIM (mean) | **{res['ssim_mean']:.4f}** |
+| training iterations | {res['iterations']} |
+| gaussians | {res['gaussians']} |
+| resolution | {res['resolution']} |
+| platform | {res['platform']} |
+| wall time | {res['train_seconds']} s |
+
+Metrics match the reference formulas: `psnr_gaussian_splatting`
+(include/loss_utils.h:41-47, per-channel MSE over flattened pixels) and
+SSIM with the 11x11 sigma=1.5 window (include/loss_utils.h:49-124).
+The Photo-SLAM-class context for real Replica room0 is ~35 dB; the
+regression floor is enforced by tests/test_quality.py.
+"""
+    (root / "QUALITY.md").write_text(md)
+    print("wrote QUALITY.md / QUALITY.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,7 @@ def _run_fwd(ranges, pairs, num_tiles, grid_w, chunk):
             jax.ShapeDtypeStruct((num_tiles, PIX_PER_TILE, 1), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, PIX_PER_TILE, 1), jnp.float32),
         ],
+        interpret=jax.default_backend() != "tpu",
     )(ranges, pairs)
     return accum, teff[:, :, 0], traw[:, :, 0]
 
@@ -273,6 +274,7 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, num_tiles, grid_w, chu
             jax.ShapeDtypeStruct((num_tiles, 1, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=jax.default_backend() != "tpu",
     )(ranges, pairs, traw, ct_accum, ct_teff)
     return grads
 

@@ -92,17 +92,33 @@ def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
     n_chunks = pl.cdiv(n, chunk)
     triu = _triu(chunk)
 
+    # Double-buffered DMA (buf_ref is [2, PACK, chunk], sem is a (2,) array):
+    # chunk c+1 streams in while chunk c computes, hiding the per-chunk copy
+    # latency (~2500 sequential 8 KB copies per step otherwise).
+    def _dma(c_idx, slot):
+        off = pl.multiple_of(start + c_idx * chunk, chunk)
+        return pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(off, chunk)], buf_ref.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _prologue():
+        _dma(0, 0).start()
+
     def cond(carry):
         c_idx, log_raw, _, _ = carry
         return jnp.logical_and(c_idx < n_chunks, jnp.max(log_raw) >= LOG_T_EPS)
 
     def body(carry):
         c_idx, log_raw, log_eff, acc = carry  # [256,G], [256,G], [256,G,3]
-        off = pl.multiple_of(start + c_idx * chunk, chunk)
-        dma = pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(off, chunk)], buf_ref, sem)
-        dma.start()
-        dma.wait()
-        buf = buf_ref[:]
+        slot_i = jax.lax.rem(c_idx, 2)
+
+        @pl.when(c_idx + 1 < n_chunks)
+        def _prefetch():
+            _dma(c_idx + 1, 1 - slot_i).start()
+
+        _dma(c_idx, slot_i).wait()
+        buf = buf_ref[slot_i]
         alpha, _, _, _, _, slot = _chunk_geom(
             buf, g_idx, grid_w, group, c_idx * chunk, n
         )
@@ -133,6 +149,13 @@ def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
         jnp.zeros((PIX_PER_TILE, group, 3), jnp.float32),
     )
     c_done, log_raw, log_eff, acc = jax.lax.while_loop(cond, body, init)
+
+    # Early termination leaves the prefetch for chunk c_done in flight
+    # (started while computing c_done-1) — drain it before the kernel ends.
+    @pl.when(c_done < n_chunks)
+    def _drain():
+        _dma(c_done, jax.lax.rem(c_done, 2)).wait()
+
     accum_ref[0] = acc
     teff_ref[0] = log_eff
     traw_ref[0] = log_raw
@@ -151,8 +174,8 @@ def _run_fwd(ranges, pairs, ng, grid_w, chunk, group):
             pl.BlockSpec((1, 1, 1), lambda i, r: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((PACK, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, PACK, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -164,6 +187,8 @@ def _run_fwd(ranges, pairs, ng, grid_w, chunk, group):
             jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
             jax.ShapeDtypeStruct((ng, 1, 1), jnp.int32),
         ],
+        # interpret mode keeps the production kernels testable off-TPU
+        interpret=jax.default_backend() != "tpu",
     )(ranges, pairs)
 
 
@@ -182,14 +207,38 @@ def _bwd_kernel(ranges_ref, pairs_hbm, traw_ref, ct_acc_ref, ct_teff_ref,
     ct_acc = ct_acc_ref[0]  # [256, G, 3]
     ct_eff = ct_teff_ref[0]  # [256, G]
 
+    # Double-buffered in/out DMA streams (buf_ref/gbuf_ref are [2,...],
+    # sems are (2,)): reads prefetch one chunk ahead, writes drain one
+    # behind — neither latency sits on the critical path.
+    def _off(i):
+        return pl.multiple_of(start + (n_chunks - 1 - i) * chunk, chunk)
+
+    def _in_dma(i, slot):
+        return pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(_off(i), chunk)], buf_ref.at[slot], in_sem.at[slot]
+        )
+
+    def _out_dma(i, slot):
+        return pltpu.make_async_copy(
+            gbuf_ref.at[slot], grads_hbm.at[:, pl.ds(_off(i), chunk)], out_sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _prologue():
+        _in_dma(0, 0).start()
+
     def body(i, carry):
         c_idx = n_chunks - 1 - i
+        slot_i = jax.lax.rem(i, 2)
         log_end, suffix = carry  # [256, G] each
-        off = pl.multiple_of(start + c_idx * chunk, chunk)
-        dma = pltpu.make_async_copy(pairs_hbm.at[:, pl.ds(off, chunk)], buf_ref, in_sem)
-        dma.start()
-        dma.wait()
-        buf = buf_ref[:]
+        off = _off(i)
+
+        @pl.when(i + 1 < n_chunks)
+        def _prefetch():
+            _in_dma(i + 1, 1 - slot_i).start()
+
+        _in_dma(i, slot_i).wait()
+        buf = buf_ref[slot_i]
         alpha, g_exp, dx, dy, (a, b, c, op), slot = _chunk_geom(
             buf, g_idx, grid_w, group, c_idx * chunk, n
         )
@@ -238,16 +287,29 @@ def _bwd_kernel(ranges_ref, pairs_hbm, traw_ref, ct_acc_ref, ct_teff_ref,
             axis=0,
         )  # [3, C]
         zeros7 = jnp.zeros((PACK - 9, chunk), jnp.float32)
-        gbuf_ref[:] = jnp.concatenate(
+
+        # the write two iterations back reused this gbuf slot — drain it
+        @pl.when(i >= 2)
+        def _drain_prev():
+            _out_dma(i - 2, slot_i).wait()
+
+        gbuf_ref[slot_i] = jnp.concatenate(
             [d_mx, d_my, d_a, d_b, d_c, d_op, d_col, zeros7], axis=0
         )
-        out = pltpu.make_async_copy(gbuf_ref, grads_hbm.at[:, pl.ds(off, chunk)], out_sem)
-        out.start()
-        out.wait()
+        _out_dma(i, slot_i).start()
         return log_start, suffix + per_tile_wc
 
     init = (traw_ref[0], ct_eff * 0.0)
     jax.lax.fori_loop(0, n_chunks, body, init)
+
+    @pl.when(n_chunks > 1)
+    def _drain_m2():
+        _out_dma(n_chunks - 2, jax.lax.rem(n_chunks - 2, 2)).wait()
+
+    @pl.when(n_chunks > 0)
+    def _drain_m1():
+        _out_dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).wait()
+
     done_ref[0] = jnp.ones((1, 1), jnp.int32)
 
 
@@ -268,10 +330,10 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, gro
             pl.BlockSpec((1, 1, 1), lambda i, r: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((PACK, chunk), jnp.float32),
-            pltpu.VMEM((PACK, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, PACK, chunk), jnp.float32),
+            pltpu.VMEM((2, PACK, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     grads, _ = pl.pallas_call(
@@ -285,6 +347,7 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, gro
         # unvisited chunk regions must read as zero gradients
         input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=jax.default_backend() != "tpu",
     )(ranges, pairs, traw, ct_accum, ct_teff, zeros_grads)
     return grads
 

@@ -1,8 +1,9 @@
 """Pallas blend parity vs the XLA reference path.
 
-Runs only on real TPU hardware (the kernels use Mosaic-specific DMA and
-SMEM layouts; the CPU suite covers the XLA path which is the numeric
-golden). Exercised by CI-on-TPU and bench runs.
+On real TPU hardware the kernels compile natively through Mosaic; on CPU
+they execute through Pallas interpret mode (same kernel code, same DMA
+schedule) — so the DEFAULT suite exercises the production path too, and
+the TPU run re-validates the compiled variant.
 """
 
 import dataclasses
@@ -15,10 +16,6 @@ import pytest
 from gsdf_slam_tpu.ops import RasterizeConfig, render
 
 from test_render import make_scene
-
-pytestmark = pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="pallas kernels need a TPU"
-)
 
 
 @pytest.mark.parametrize("group", [1, 8])
