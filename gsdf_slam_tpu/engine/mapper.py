@@ -304,16 +304,17 @@ class GaussianMapper:
         with MAX_PAIRS, so an oversized capacity wastes most of the frame
         (the reference's equivalent knob is the dynamically resized
         binningBuffer, rasterize_points.cu:28-36). Grows eagerly on
-        overflow-risk, shrinks lazily; 32k-granular sizes bound recompiles
-        to a few dozen over a run while keeping slack ~1.35x (overflow is
+        overflow-risk, shrinks lazily; 16k-granular sizes bound recompiles
+        to a few dozen over a run while keeping slack ~1.15x (overflow is
         detected on the per-step metrics fetch and the step redone, so the
         slack only absorbs between-frame variation; it is not needed for
-        correctness)."""
+        correctness — every mp-sized stage of the pipeline pays ~12 ns/row,
+        so tighter slack is a direct throughput win)."""
         if not self.auto_size_pairs:
             return
         self._pairs_high_water = max(self._pairs_high_water, observed_total)
-        need = int(self._pairs_high_water * 1.35) + 1
-        step = 1 << 15
+        need = int(self._pairs_high_water * 1.15) + 1
+        step = 1 << 14
         size = max(1 << 14, (need + step - 1) // step * step)
         if size > self.max_pairs or size * 2 < self.max_pairs:
             self.max_pairs = size
