@@ -19,8 +19,8 @@ I4 = np.eye(4, dtype=np.float32)
 def test_streaming_soak_capacity_doublings():
     rng = np.random.default_rng(7)
     m = _mapper(make_frames(n=1))
-    m.capacity = 512  # start small to force >= 2 doublings
-    m.ingest_capacity = 256
+    m.capacity = 256  # start small to force >= 2 doublings
+    m.ingest_capacity = 128
     m.settings = dataclasses.replace(
         m.settings,
         opt=dataclasses.replace(
@@ -28,7 +28,7 @@ def test_streaming_soak_capacity_doublings():
             densification_interval=5,
             densify_from_iter=0,
             densify_until_iter=10_000,
-            densify_grad_threshold=1e-8,  # clone/split every cycle
+            densify_grad_threshold=2e-2,  # steady (not explosive) surgery
             opacity_reset_interval=40,
         ),
         new_keyframe_times_of_use=3,
@@ -39,7 +39,7 @@ def test_streaming_soak_capacity_doublings():
     caps_seen = {m.capacity}
     pair_caps_seen = set()
     psnrs = []
-    n_frames = 120
+    n_frames = 60
     for i in range(n_frames):
         # slowly orbiting camera over a textured wall of fresh points each
         # frame — increase_pcd dedup passes some, densify multiplies them
@@ -51,7 +51,15 @@ def test_streaming_soak_capacity_doublings():
              rng.uniform(2.8, 3.4, 80)], -1,
         ).astype(np.float32)
         cols = rng.uniform(0, 1, (80, 3)).astype(np.float32)
-        img = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32) / h
+        img = np.stack(
+            [
+                0.5 + 0.4 * np.sin(3 * xx + 0.1 * i),
+                0.5 + 0.4 * np.cos(2 * yy + 0.05 * i),
+                np.full((h, w), 0.5, np.float32),
+            ],
+            -1,
+        ).astype(np.float32)
         m.feed_keyframe(i, pose, img, points=pts, colors=cols)
         out = m.train_for_one_iteration()
         assert out is not None
@@ -62,18 +70,20 @@ def test_streaming_soak_capacity_doublings():
         assert int(m.state.count) <= m.state.capacity
 
     # the run forced real growth
-    assert m.state.capacity >= 512 * 4, f"caps: {sorted(caps_seen)}"
-    assert int(m.state.count) > 512
+    assert m.state.capacity >= 256 * 4, f"caps: {sorted(caps_seen)}"
+    assert int(m.state.count) > 256
     # every parameter finite (incl. Adam moments after surgery churn)
     for k, v in m.state.params().items():
         assert np.isfinite(np.asarray(v)).all(), k
     for k in m.adam.m:
         assert np.isfinite(np.asarray(m.adam.m[k])).all(), k
         assert np.isfinite(np.asarray(m.adam.v[k])).all(), k
-    # recompiles bounded: few distinct capacities and pair sizes
-    assert len(caps_seen) <= 6, sorted(caps_seen)
+    # recompiles bounded: capacity visits are logarithmic in growth (the
+    # doubling policy), pair sizes a handful of 16k-granular values
+    max_caps = int(np.log2(m.state.capacity // 256)) + 2
+    assert len(caps_seen) <= max_caps, sorted(caps_seen)
     assert len(pair_caps_seen) <= 8, sorted(pair_caps_seen)
     # the fit improves over the stream despite constant growth/churn
-    assert np.mean(psnrs[-20:]) > np.mean(psnrs[:20]), (
-        np.mean(psnrs[:20]), np.mean(psnrs[-20:])
+    assert np.mean(psnrs[-15:]) > np.mean(psnrs[:15]), (
+        np.mean(psnrs[:15]), np.mean(psnrs[-15:])
     )
