@@ -60,6 +60,10 @@ def run_quality(
         settings=settings, capacity=capacity, max_pairs=max_pairs,
         ingest_capacity=1 << 16,
     )
+    # Fixed pair capacity: autosizing would recompile on every 16k growth
+    # step as the map densifies — fine on-chip, pathological over a remote
+    # compile relay. The harness presizes generously instead.
+    mapper.auto_size_pairs = False
     fov = np.pi / 2
     fx = 0.5 * width / np.tan(fov / 2)
     intr = CameraIntrinsics(
@@ -86,9 +90,11 @@ def run_quality(
     psnrs, ssims = [], []
     for pose in make_eval_poses(n_eval, n_frames):
         gt, _ = raycast_room(pose, width, height, fov)
+        # fovx/fovy default to the registered camera's values (fovy != fov:
+        # it derives from fy and the image HEIGHT)
         img = mapper.render_from_pose(
             np.linalg.inv(pose.astype(np.float64)).astype(np.float32),
-            width, height, fov, fov,
+            width, height,
         )
         psnrs.append(float(psnr_gaussian_splatting(jnp.asarray(img), jnp.asarray(gt))))
         ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(gt))))
