@@ -18,10 +18,18 @@ from .base_parser import CameraIntrinsics, FrameSet, load_poses
 
 TUM_DEPTH_SCALE = 1.0 / 5000.0
 
-# Default intrinsics per sequence family (TUM ROS defaults; fr1 values).
+# Default intrinsics per sequence family (TUM ROS defaults, incl. the
+# radtan distortion the reference's cfg/ORB_SLAM3/Monocular TUM yamls
+# carry — fr3 ships rectified).
 TUM_INTRINSICS = {
-    "fr1": CameraIntrinsics(517.3, 516.5, 318.6, 255.3, 640, 480),
-    "fr2": CameraIntrinsics(520.9, 521.0, 325.1, 249.7, 640, 480),
+    "fr1": CameraIntrinsics(
+        517.3, 516.5, 318.6, 255.3, 640, 480,
+        dist=np.array([0.2624, -0.9531, -0.0054, 0.0026, 1.1633]),
+    ),
+    "fr2": CameraIntrinsics(
+        520.9, 521.0, 325.1, 249.7, 640, 480,
+        dist=np.array([0.2312, -0.7849, -0.0033, -0.0001, 0.9172]),
+    ),
     "fr3": CameraIntrinsics(535.4, 539.2, 320.1, 247.6, 640, 480),
 }
 
@@ -59,13 +67,19 @@ class TumParser:
         depth_t, depth_f = _read_listing(base / "depth.txt")
         gt, gt_t = load_poses(base / "groundtruth.txt", pose_type=3)
 
-        rgb_depth = _associate(rgb_t, depth_t)
+        if len(depth_t):
+            rgb_depth = _associate(rgb_t, depth_t)
+        else:
+            # monocular mode (tum_mono.sh): rgb-only sequences are valid
+            rgb_depth = [(i, None) for i in range(len(rgb_t))]
         self.color_files, self.depth_files, self.poses = [], [], []
         for i, j in rgb_depth:
             k = int(np.argmin(np.abs(gt_t - rgb_t[i])))
             if abs(gt_t[k] - rgb_t[i]) < 0.02:
                 self.color_files.append(base / rgb_f[i])
-                self.depth_files.append(base / depth_f[j])
+                self.depth_files.append(
+                    base / depth_f[j] if j is not None else None
+                )
                 self.poses.append(gt[k])
         self.poses = (
             np.stack(self.poses).astype(np.float32)

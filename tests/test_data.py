@@ -116,3 +116,46 @@ def test_kitti_loader_colorizes(fake_kitti):
     np.testing.assert_allclose(fr.colors[0], [1.0, 0, 0], atol=1e-5)
     # intrinsics hardcode 1226x370 like the reference parser
     assert dl.frames.intrinsics.width == 1226
+
+
+def test_tum_parser_and_mono_feed(tmp_path):
+    """TUM layout parsing (timestamps, TUM pose format, association) and the
+    mono SLAM feed with fr1's real distortion -> undistorter engages."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    seq = tmp_path / "rgbd_dataset_freiburg1_fake"
+    (seq / "rgb").mkdir(parents=True)
+    rgb_lines, gt_lines = [], []
+    for i in range(3):
+        t = 1305031102.175304 + 0.1 * i
+        name = f"rgb/{t:.6f}.png"
+        img = (rng.uniform(0, 255, (480, 640, 3))).astype(np.uint8)
+        cv2.imwrite(str(seq / name), img)
+        rgb_lines.append(f"{t:.6f} {name}")
+        # pose at t + tiny offset tests nearest-timestamp association
+        gt_lines.append(f"{t + 0.004:.6f} {0.01 * i} 0 0 0 0 0 1")
+    (seq / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_lines) + "\n")
+    (seq / "depth.txt").write_text("# depth\n")
+    (seq / "groundtruth.txt").write_text("# gt\n" + "\n".join(gt_lines) + "\n")
+
+    from gsdf_slam_tpu.data.tum import TUM_INTRINSICS, TumParser
+
+    parser = TumParser(seq, family="fr1")
+    fr = parser.frames()
+    assert len(fr.color_files) == 3
+    assert fr.color_poses.shape == (3, 4, 4)
+    np.testing.assert_allclose(fr.color_poses[1][:3, 3], [0.01, 0, 0], atol=1e-6)
+    assert TUM_INTRINSICS["fr1"].dist is not None
+
+    from test_mapper import _mapper, make_frames
+
+    m = _mapper(make_frames(n=1))
+    m.dataloader = None
+    img = cv2.cvtColor(cv2.imread(str(fr.color_files[0])), cv2.COLOR_BGR2RGB)
+    kf = m.feed_keyframe(
+        0, fr.color_poses[0].astype(np.float32),
+        img.astype(np.float32) / 255.0, intrinsics=TUM_INTRINSICS["fr1"],
+    )
+    # fr1 distortion -> undistorter built, loss mask present
+    assert 0 in m._undistorters
+    assert kf.mask is not None
