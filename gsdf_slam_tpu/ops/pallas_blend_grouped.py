@@ -128,9 +128,10 @@ def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
         log1m = jnp.log1p(-alpha)
         incl = _mm(log1m, useg, (((1,), (0,)),)[0])  # [256, C]
         carry_cols = _mm(log_raw, oh, (((1,), (0,)),)[0])  # [256, C]
-        t_incl = jnp.exp(carry_cols + incl)
-        applied = (t_incl >= T_EPS).astype(jnp.float32)
+        # one exp panel, not two: the T >= T_EPS termination test is a
+        # monotone compare, so it runs in log domain with no exp
         t_excl = jnp.exp(carry_cols + (incl - log1m))
+        applied = (carry_cols + incl >= LOG_T_EPS).astype(jnp.float32)
         w = alpha * t_excl * applied
         col = buf[6:9, :]  # [3, C]
         adds = [
@@ -249,9 +250,10 @@ def _bwd_kernel(ranges_ref, pairs_hbm, traw_ref, ct_acc_ref, ct_teff_ref,
         log_start = log_end - _mm(log1m, oh, (((1,), (1,)),)[0])
         incl = _mm(log1m, useg, (((1,), (0,)),)[0])
         carry_cols = _mm(log_start, oh, (((1,), (0,)),)[0])
-        t_incl = jnp.exp(carry_cols + incl)
-        applied = jnp.where((t_incl >= T_EPS) & (alpha > 0.0), 1.0, 0.0)
         t_excl = jnp.exp(carry_cols + (incl - log1m))
+        applied = jnp.where(
+            (carry_cols + incl >= LOG_T_EPS) & (alpha > 0.0), 1.0, 0.0
+        )
         w = alpha * t_excl * applied
 
         col = buf[6:9, :]  # [3, C]
