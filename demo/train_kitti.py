@@ -22,6 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dataset", help="KITTI odometry sequence dir (calib.txt, poses.txt, image_2/, velodyne/)")
+    ap.add_argument(
+        "--dataset-type", default="kitti", choices=["kitti", "spires"],
+        help="loader dispatch (the reference's train_kitti hardcodes Spires=5, "
+        "data_loader.cpp:32-43; both LiDAR+camera types stream identically)",
+    )
     ap.add_argument("--config", default=None, help="gaussian_mapper YAML (cv::FileStorage style)")
     ap.add_argument("--output", default="results/kitti")
     ap.add_argument("--viewer", action="store_true", help="serve the web viewer on :8090")
@@ -50,7 +55,7 @@ def main():
 
         sky = cv2.imread(args.sky_mask, cv2.IMREAD_GRAYSCALE) > 32
 
-    loader = DataLoader(args.dataset, "kitti")
+    loader = DataLoader(args.dataset, args.dataset_type)
     mapper = GaussianMapper(
         settings=settings,
         dataloader=loader,

@@ -283,3 +283,29 @@ def test_sparse_points_ply_roundtrip(tmp_path):
         (col * 255.0).astype(np.uint8),
     )
     assert np.all(props["nx"] == 0)
+
+
+def test_shipped_example_configs_parse():
+    """cfg/*.yaml (the reference's cv::FileStorage config surface) parse
+    into MapperSettings with the intended values."""
+    from pathlib import Path
+
+    from gsdf_slam_tpu.engine import MapperSettings
+
+    root = Path(__file__).resolve().parent.parent
+    kitti = MapperSettings.from_yaml(root / "cfg" / "kitti.yaml")
+    assert kitti.opt.densification_interval == 5
+    assert kitti.opt.densify_from_iter == 3  # densification off after iter 3
+    assert kitti.new_keyframe_times_of_use == 1
+    assert not kitti.do_inactive_geo_densify
+
+    replica = MapperSettings.from_yaml(root / "cfg" / "replica_rgbd.yaml")
+    assert replica.new_keyframe_times_of_use == 8
+    assert replica.do_gaus_pyramid_training
+    assert replica.opt.densification_interval == 100
+
+    tum = MapperSettings.from_yaml(root / "cfg" / "tum_mono.yaml")
+    assert tum.do_inactive_geo_densify
+    assert tum.max_depth_cached == 10
+    assert tum.stable_num_iter_existence == 1
+    assert tum.large_rotation_threshold == 30.0
