@@ -64,7 +64,10 @@ class TumParser:
         self.intrinsics = TUM_INTRINSICS[family]
 
         rgb_t, rgb_f = _read_listing(base / "rgb.txt")
-        depth_t, depth_f = _read_listing(base / "depth.txt")
+        if (base / "depth.txt").exists():
+            depth_t, depth_f = _read_listing(base / "depth.txt")
+        else:  # rgb-only sequence (monocular mode)
+            depth_t, depth_f = np.zeros(0), []
         gt, gt_t = load_poses(base / "groundtruth.txt", pose_type=3)
 
         if len(depth_t):

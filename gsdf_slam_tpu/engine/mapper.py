@@ -169,7 +169,11 @@ class GaussianMapper:
         # black remap edges out of the loss (:415-417).
         dist = getattr(intr, "dist", None) if intr is not None else None
         if dist is not None and np.any(np.asarray(dist) != 0):
-            und = self._undistorters.get(cam.camera_id)
+            # cache key = the actual camera geometry (camera_id is the
+            # per-frame fid here, which would rebuild the maps every frame)
+            key = (cam.fx, cam.fy, cam.cx, cam.cy, w, h,
+                   np.asarray(dist, np.float64).tobytes())
+            und = self._undistorters.get(key)
             if und is None:
                 from .camera_undistort import UndistortRectifier
 
@@ -178,7 +182,7 @@ class GaussianMapper:
                     np.float64,
                 )
                 und = UndistortRectifier(k, np.asarray(dist, np.float64), w, h)
-                self._undistorters[cam.camera_id] = und
+                self._undistorters[key] = und
             image = und.undistort(image).astype(np.float32)
             mask = und.mask
 
@@ -411,6 +415,16 @@ class GaussianMapper:
             self._autosize_pairs(total_pairs)
             if total_pairs <= cfg.max_pairs:
                 break
+            if self.max_pairs <= cfg.max_pairs:
+                # capacity cannot grow (autosizing disabled or already at
+                # size): keep the frame but say so — its pairs were dropped
+                print(
+                    f"[mapper] WARNING: pair overflow at iter "
+                    f"{self.iteration} ({total_pairs} > {cfg.max_pairs}) "
+                    "with pair autosizing disabled; frame rendered with "
+                    "dropped splats"
+                )
+                break
             print(
                 f"[mapper] WARNING: pair overflow at iter {self.iteration} "
                 f"({total_pairs} > {cfg.max_pairs}); growing to "
@@ -511,6 +525,14 @@ class GaussianMapper:
             self._autosize_pairs(total_pairs)
             if total_pairs <= cfg.max_pairs:
                 break
+            if self.max_pairs <= cfg.max_pairs:
+                print(
+                    f"[mapper] WARNING: pair overflow at iter "
+                    f"{self.iteration} ({total_pairs} > {cfg.max_pairs}) "
+                    "with pair autosizing disabled; frame rendered with "
+                    "dropped splats"
+                )
+                break
             print(
                 f"[mapper] WARNING: pair overflow at iter {self.iteration} "
                 f"({total_pairs} > {cfg.max_pairs}); growing to "
@@ -549,7 +571,7 @@ class GaussianMapper:
                         f"gaussians for capacity at iter {self.iteration}; "
                         "growing capacity"
                     )
-                    self._ensure_capacity(int(self.state.count) + dropped)
+                    self._ensure_capacity(dropped)
             # resetOpacity cadence (gaussian_mapper.cpp:460): also fires for
             # white-background runs exactly when iteration == densify_from.
             if (
@@ -771,8 +793,7 @@ class GaussianMapper:
             )
         )
         kf.t_cw = new_tcw
-        kf._cam_matrices = None
-        self._gt_cache.clear()
+        kf._cam_matrices = None  # gt images are pose-independent; keep cache
         s = self.settings
         if (
             ang_deg > s.large_rotation_threshold

@@ -445,8 +445,14 @@ class OnnxExecutor:
             pads = a.get("pads") or x[1].tolist()
             nd = x[0].ndim
             width = [(int(pads[i]), int(pads[i + nd])) for i in range(nd)]
-            put(np.pad(x[0], width, mode="edge" if mode == "edge" else
-                       ("reflect" if mode == "reflect" else "constant")))
+            if mode == "constant":
+                cval = 0.0
+                if len(x) > 2 and x[2] is not None and np.asarray(x[2]).size:
+                    cval = float(np.asarray(x[2]).reshape(-1)[0])
+                put(np.pad(x[0], width, mode="constant", constant_values=cval))
+            else:
+                put(np.pad(x[0], width,
+                           mode="edge" if mode == "edge" else "reflect"))
         elif op == "Upsample":  # opset <= 9
             scales = a.get("scales") or x[1].reshape(-1).tolist()
             oh = int(x[0].shape[2] * scales[2])
@@ -482,10 +488,25 @@ class OnnxExecutor:
         elif op in ("Identity", "Dropout"):
             put(x[0])
         elif op == "Constant":
-            put(a.get("value"))
+            if "value" in a:
+                put(a["value"])
+            elif "value_float" in a:
+                put(np.float32(a["value_float"]))
+            elif "value_int" in a:
+                put(np.int64(a["value_int"]))
+            elif "value_ints" in a:
+                put(np.asarray(a["value_ints"], np.int64))
+            elif "value_floats" in a:
+                put(np.asarray(a["value_floats"], np.float32))
+            else:
+                raise NotImplementedError(
+                    f"Constant node with attrs {sorted(a)} is not supported"
+                )
         elif op == "Split":
             axis = a.get("axis", 0)
-            if "split" in a:
+            if len(x) > 1 and x[1] is not None:  # opset 13+: sizes input
+                secs = np.cumsum(np.asarray(x[1]).reshape(-1))[:-1]
+            elif "split" in a:
                 secs = np.cumsum(a["split"])[:-1]
             else:
                 secs = len(out)

@@ -134,8 +134,8 @@ def test_tum_parser_and_mono_feed(tmp_path):
         rgb_lines.append(f"{t:.6f} {name}")
         # pose at t + tiny offset tests nearest-timestamp association
         gt_lines.append(f"{t + 0.004:.6f} {0.01 * i} 0 0 0 0 0 1")
+    # NO depth.txt: real monocular sequences ship rgb+groundtruth only
     (seq / "rgb.txt").write_text("# rgb\n" + "\n".join(rgb_lines) + "\n")
-    (seq / "depth.txt").write_text("# depth\n")
     (seq / "groundtruth.txt").write_text("# gt\n" + "\n".join(gt_lines) + "\n")
 
     from gsdf_slam_tpu.data.tum import TUM_INTRINSICS, TumParser
@@ -157,5 +157,5 @@ def test_tum_parser_and_mono_feed(tmp_path):
         img.astype(np.float32) / 255.0, intrinsics=TUM_INTRINSICS["fr1"],
     )
     # fr1 distortion -> undistorter built, loss mask present
-    assert 0 in m._undistorters
+    assert len(m._undistorters) == 1
     assert kf.mask is not None
