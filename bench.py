@@ -88,6 +88,21 @@ def main():
     dt = time.perf_counter() - t0
     ips = ITERS / dt
 
+    detail = {
+        "resolution": f"{WIDTH}x{HEIGHT}",
+        "gaussians": N_GAUSSIANS,
+        "pairs": pairs,
+        "platform": jax.devices()[0].platform,
+    }
+    # attach the latest committed quality artifact (benchmarks/quality.py)
+    qpath = __import__("pathlib").Path(__file__).parent / "QUALITY.json"
+    if qpath.exists():
+        q = json.loads(qpath.read_text())
+        detail["quality"] = {
+            "held_out_psnr_db": round(q["psnr_mean"], 2),
+            "held_out_ssim": round(q["ssim_mean"], 4),
+            "source": "QUALITY.json",
+        }
     print(
         json.dumps(
             {
@@ -95,12 +110,7 @@ def main():
                 "value": round(ips, 3),
                 "unit": "it/s",
                 "vs_baseline": round(ips / A100_REFERENCE_ITERS_PER_SEC, 3),
-                "detail": {
-                    "resolution": f"{WIDTH}x{HEIGHT}",
-                    "gaussians": N_GAUSSIANS,
-                    "pairs": pairs,
-                    "platform": jax.devices()[0].platform,
-                },
+                "detail": detail,
             }
         )
     )
