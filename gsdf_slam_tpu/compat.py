@@ -1,0 +1,141 @@
+"""Reference-named API facade.
+
+Maps the C++ class names of the reference (include/gaussian_mapper.h,
+gaussian_renderer.h, gaussian_scene.h, gaussian_keyframe.h,
+gaussian_model.h) onto this package's equivalents, so code written against
+the reference's vocabulary finds the same surface here:
+
+    from gsdf_slam_tpu.compat import (
+        GaussianMapper, GaussianRenderer, GaussianScene, GaussianKeyframe,
+        GaussianModel,
+    )
+
+The mapper/scene/keyframe names are direct aliases. `GaussianRenderer`
+keeps the reference's static-`render` shape (gaussian_renderer.h:29-42)
+over our functional `render_state`; `GaussianModel` bundles the state
+pytree with its surgery functions under the reference's method names
+(gaussian_model.h:57-175).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .engine.keyframe import Camera, Keyframe as GaussianKeyframe
+from .engine.mapper import GaussianMapper
+from .engine.scene import Scene as GaussianScene
+from .engine.train import render_state
+from .models.gaussian_model import (
+    GaussianState,
+    create_from_pcd,
+    densify_and_prune,
+    increase_pcd,
+    prune_young,
+    reset_opacity,
+)
+from .models.optimizer import AdamState
+from .ops.rasterize import RasterizeConfig, RenderOutput
+
+__all__ = [
+    "Camera",
+    "GaussianKeyframe",
+    "GaussianMapper",
+    "GaussianModel",
+    "GaussianRenderer",
+    "GaussianScene",
+]
+
+
+class GaussianRenderer:
+    """GaussianRenderer::render (gaussian_renderer.cpp:23-141): static
+    render of a model from a keyframe's viewpoint."""
+
+    @staticmethod
+    def render(
+        keyframe: GaussianKeyframe,
+        height: int,
+        width: int,
+        model: "GaussianModel | GaussianState",
+        bg_color=None,
+        scaling_modifier: float = 1.0,
+        z_near: float = 0.01,
+        z_far: float = 100.0,
+    ) -> RenderOutput:
+        state = model.state if isinstance(model, GaussianModel) else model
+        cfg = RasterizeConfig(
+            height=height, width=width, scale_modifier=scaling_modifier
+        )
+        bg = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
+        return render_state(
+            state, keyframe.camera_matrices(z_near, z_far), bg, cfg
+        )
+
+
+class GaussianModel:
+    """Stateful wrapper matching GaussianModel's method surface
+    (gaussian_model.h:57-175) over the functional fixed-capacity core."""
+
+    def __init__(self, sh_degree: int = 3, capacity: int = 1 << 18):
+        self.max_sh_degree = sh_degree
+        self.capacity = capacity
+        self.state: GaussianState | None = None
+        self.adam: AdamState | None = None
+
+    # --- createFromPcd (gaussian_model.cpp:130-199) ----------------------
+    def create_from_pcd(self, points, colors) -> None:
+        points = np.asarray(points, np.float32)
+        colors = np.asarray(colors, np.float32)
+        self.state = create_from_pcd(
+            jnp.asarray(points), jnp.asarray(colors),
+            jnp.ones(len(points), bool), self.capacity,
+        )
+        self.adam = AdamState.init(self.state.params())
+
+    # --- increasePcd (:207-317) ------------------------------------------
+    def increase_pcd(self, points, colors, iteration: int = 0) -> None:
+        points = np.asarray(points, np.float32)
+        colors = np.asarray(colors, np.float32)
+        self.state, self.adam, _ = increase_pcd(
+            self.state, self.adam, jnp.asarray(points), jnp.asarray(colors),
+            jnp.ones(len(points), bool), jnp.int32(iteration),
+        )
+
+    # --- densifyAndPrune (:644-665) --------------------------------------
+    def densify_and_prune(
+        self, max_grad, min_opacity, extent, max_screen_size, key=None
+    ) -> None:
+        import jax
+
+        key = jax.random.PRNGKey(0) if key is None else key
+        self.state, self.adam, _ = densify_and_prune(
+            self.state, self.adam, key, max_grad=max_grad,
+            min_opacity=min_opacity, extent=extent,
+            max_screen_size=max_screen_size,
+        )
+
+    # --- resetOpacity (:399-408) -----------------------------------------
+    def reset_opacity(self) -> None:
+        self.state, self.adam = reset_opacity(self.state, self.adam)
+
+    def prune_young(self, iteration: int, stable_num_iter: int) -> None:
+        self.state, self.adam = prune_young(
+            self.state, self.adam, jnp.int32(iteration),
+            jnp.int32(stable_num_iter),
+        )
+
+    # --- accessors matching get_xyz/get_opacity/... ----------------------
+    @property
+    def xyz(self):
+        return self.state.xyz[: int(self.state.count)]
+
+    @property
+    def opacity(self):
+        return self.state.opacity_act()[: int(self.state.count), 0]
+
+    @property
+    def scaling(self):
+        return self.state.scaling_act()[: int(self.state.count)]
+
+    def __len__(self) -> int:
+        return int(self.state.count) if self.state is not None else 0
