@@ -553,25 +553,37 @@ class GaussianMapper:
                     20 if self.iteration > s.prune_big_point_after_iter else 0
                 )
                 self._ensure_capacity(int(self.state.count) // 2)
-                self._key, sub = jax.random.split(self._key)
-                self.state, self.adam, aux = densify_and_prune(
-                    self.state,
-                    self.adam,
-                    sub,
-                    max_grad=s.opt.densify_grad_threshold,
-                    min_opacity=s.densify_min_opacity,
-                    extent=self.scene.cameras_extent,
-                    max_screen_size=size_threshold,
-                    percent_dense=s.opt.percent_dense,
-                )
-                dropped = int(aux.dropped_for_capacity)
-                if dropped > 0:
-                    print(
-                        f"[mapper] WARNING: densify dropped {dropped} new "
-                        f"gaussians for capacity at iter {self.iteration}; "
-                        "growing capacity"
+                # Lossless surgery like the reference's dynamic realloc:
+                # if the fixed capacity drops appendees, GROW and REDO the
+                # surgery from the pre-surgery state (growing afterwards
+                # cannot recover rows already dropped).
+                for _surgery_attempt in range(4):
+                    self._key, sub = jax.random.split(self._key)
+                    new_state, new_adam, aux = densify_and_prune(
+                        self.state,
+                        self.adam,
+                        sub,
+                        max_grad=s.opt.densify_grad_threshold,
+                        min_opacity=s.densify_min_opacity,
+                        extent=self.scene.cameras_extent,
+                        max_screen_size=size_threshold,
+                        percent_dense=s.opt.percent_dense,
                     )
-                    self._ensure_capacity(dropped)
+                    dropped = int(aux.dropped_for_capacity)
+                    if dropped == 0:
+                        break
+                    print(
+                        f"[mapper] WARNING: densify needs {dropped} more "
+                        f"slots at iter {self.iteration}; growing capacity "
+                        "and redoing the surgery"
+                    )
+                    target = self.state.capacity + dropped
+                    while self.state.capacity < target:
+                        self.state, self.adam = with_capacity(
+                            self.state, self.adam, self.state.capacity * 2
+                        )
+                        self.capacity = self.state.capacity
+                self.state, self.adam = new_state, new_adam
             # resetOpacity cadence (gaussian_mapper.cpp:460): also fires for
             # white-background runs exactly when iteration == densify_from.
             if (
