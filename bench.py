@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -95,7 +96,7 @@ def main():
         "platform": jax.devices()[0].platform,
     }
     # attach the latest committed quality artifact (benchmarks/quality.py)
-    qpath = __import__("pathlib").Path(__file__).parent / "QUALITY.json"
+    qpath = Path(__file__).parent / "QUALITY.json"
     if qpath.exists():
         q = json.loads(qpath.read_text())
         detail["quality"] = {

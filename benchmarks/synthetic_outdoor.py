@@ -45,15 +45,9 @@ def _ground_tex(x: np.ndarray, z: np.ndarray) -> np.ndarray:
 
 def raycast_outdoor(t_wc: np.ndarray, width: int, height: int, fov=np.pi / 2):
     """(rgb [H,W,3], zdepth [H,W]); sky pixels carry depth = inf."""
-    fx = 0.5 * width / np.tan(fov / 2)
-    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
-    ys, xs = np.mgrid[0:height, 0:width]
-    d_cam = np.stack(
-        [(xs - cx) / fx, (ys - cy) / fx, np.ones_like(xs, np.float64)], -1
-    )
-    r = t_wc[:3, :3].astype(np.float64)
-    o = t_wc[:3, 3].astype(np.float64)
-    d = d_cam @ r.T
+    from benchmarks.synthetic_room import camera_rays
+
+    o, d = camera_rays(t_wc, width, height, fov)
 
     best_t = np.full((height, width), np.inf)
     rgb = _sky(d / np.linalg.norm(d, axis=-1, keepdims=True))

@@ -42,6 +42,22 @@ _FACE_B = np.array(
 )
 
 
+def camera_rays(t_wc: np.ndarray, width: int, height: int, fov: float):
+    """Shared pinhole ray generator for the synthetic fixtures: returns
+    (origin [3], world ray dirs [H,W,3] with unit camera-z so the ray
+    parameter equals z-depth). OpenCV convention: +x right, +y down,
+    +z forward; principal point at ((w-1)/2, (h-1)/2)."""
+    fx = 0.5 * width / np.tan(fov / 2)
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
+    ys, xs = np.mgrid[0:height, 0:width]
+    d_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fx, np.ones_like(xs, np.float64)], -1
+    )
+    r = t_wc[:3, :3].astype(np.float64)
+    o = t_wc[:3, 3].astype(np.float64)
+    return o, d_cam @ r.T
+
+
 def _face_texture(face: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Smooth gradients + a 0.5m checker, in [0,1]. u/v in world meters."""
     checker = ((np.floor(u / 0.5) + np.floor(v / 0.5)) % 2.0)[..., None]
@@ -57,16 +73,7 @@ def raycast_room(t_wc: np.ndarray, width: int, height: int, fov: float = np.pi /
     """Render (rgb [H,W,3], zdepth [H,W]) of the room from camera pose T_wc.
 
     OpenCV camera convention: +z forward, +x right, +y down."""
-    fx = 0.5 * width / np.tan(fov / 2)
-    fy = fx
-    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
-    ys, xs = np.mgrid[0:height, 0:width]
-    d_cam = np.stack(
-        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], -1
-    )  # [H,W,3], z=1 so the ray parameter IS z-depth
-    r = t_wc[:3, :3].astype(np.float64)
-    o = t_wc[:3, 3].astype(np.float64)
-    d = d_cam @ r.T  # [H,W,3] world
+    o, d = camera_rays(t_wc, width, height, fov)
 
     best_t = np.full((height, width), np.inf)
     rgb = np.zeros((height, width, 3))

@@ -33,6 +33,7 @@ from .models.gaussian_model import (
     increase_pcd,
     prune_young,
     reset_opacity,
+    with_capacity,
 )
 from .models.optimizer import AdamState
 from .ops.rasterize import RasterizeConfig, RenderOutput
@@ -62,13 +63,19 @@ class GaussianRenderer:
         z_near: float = 0.01,
         z_far: float = 100.0,
     ) -> RenderOutput:
-        state = model.state if isinstance(model, GaussianModel) else model
+        active_sh = None
+        if isinstance(model, GaussianModel):
+            state = model.state
+            active_sh = jnp.int32(model.max_sh_degree)  # honor sh_degree
+        else:
+            state = model
         cfg = RasterizeConfig(
             height=height, width=width, scale_modifier=scaling_modifier
         )
         bg = jnp.zeros(3) if bg_color is None else jnp.asarray(bg_color)
         return render_state(
-            state, keyframe.camera_matrices(z_near, z_far), bg, cfg
+            state, keyframe.camera_matrices(z_near, z_far), bg, cfg,
+            active_sh_degree=active_sh,
         )
 
 
@@ -77,15 +84,31 @@ class GaussianModel:
     (gaussian_model.h:57-175) over the functional fixed-capacity core."""
 
     def __init__(self, sh_degree: int = 3, capacity: int = 1 << 18):
+        import jax
+
         self.max_sh_degree = sh_degree
         self.capacity = capacity
         self.state: GaussianState | None = None
         self.adam: AdamState | None = None
+        self._key = jax.random.PRNGKey(0)
+
+    def _ensure(self, incoming: int) -> None:
+        """Grow capacity so `incoming` new rows fit — the reference's
+        dynamic reallocation never drops points, so neither does this
+        facade (the raw functional API reports drops via SurgeryAux)."""
+        count = int(self.state.count) if self.state is not None else 0
+        while count + incoming > self.capacity:
+            self.capacity *= 2
+            if self.state is not None:
+                self.state, self.adam = with_capacity(
+                    self.state, self.adam, self.capacity
+                )
 
     # --- createFromPcd (gaussian_model.cpp:130-199) ----------------------
     def create_from_pcd(self, points, colors) -> None:
         points = np.asarray(points, np.float32)
         colors = np.asarray(colors, np.float32)
+        self._ensure(len(points))
         self.state = create_from_pcd(
             jnp.asarray(points), jnp.asarray(colors),
             jnp.ones(len(points), bool), self.capacity,
@@ -96,6 +119,7 @@ class GaussianModel:
     def increase_pcd(self, points, colors, iteration: int = 0) -> None:
         points = np.asarray(points, np.float32)
         colors = np.asarray(colors, np.float32)
+        self._ensure(len(points))
         self.state, self.adam, _ = increase_pcd(
             self.state, self.adam, jnp.asarray(points), jnp.asarray(colors),
             jnp.ones(len(points), bool), jnp.int32(iteration),
@@ -107,12 +131,20 @@ class GaussianModel:
     ) -> None:
         import jax
 
-        key = jax.random.PRNGKey(0) if key is None else key
-        self.state, self.adam, _ = densify_and_prune(
-            self.state, self.adam, key, max_grad=max_grad,
-            min_opacity=min_opacity, extent=extent,
-            max_screen_size=max_screen_size,
-        )
+        if key is None:  # fresh randomness per densify round
+            self._key, key = jax.random.split(self._key)
+        for attempt in range(4):
+            new_state, new_adam, aux = densify_and_prune(
+                self.state, self.adam, key, max_grad=max_grad,
+                min_opacity=min_opacity, extent=extent,
+                max_screen_size=max_screen_size,
+            )
+            dropped = int(aux.dropped_for_capacity)
+            if dropped == 0 or attempt == 3:
+                break
+            self._ensure(int(self.state.count) // 2 + dropped)
+        self.state, self.adam = new_state, new_adam
+        self.capacity = self.state.capacity
 
     # --- resetOpacity (:399-408) -----------------------------------------
     def reset_opacity(self) -> None:

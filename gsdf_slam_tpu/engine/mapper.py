@@ -572,6 +572,14 @@ class GaussianMapper:
                     dropped = int(aux.dropped_for_capacity)
                     if dropped == 0:
                         break
+                    if _surgery_attempt == 3:
+                        print(
+                            f"[mapper] WARNING: densify still dropped "
+                            f"{dropped} gaussians after repeated capacity "
+                            f"growth at iter {self.iteration}; accepting "
+                            "the lossy surgery"
+                        )
+                        break
                     print(
                         f"[mapper] WARNING: densify needs {dropped} more "
                         f"slots at iter {self.iteration}; growing capacity "
@@ -582,8 +590,8 @@ class GaussianMapper:
                         self.state, self.adam = with_capacity(
                             self.state, self.adam, self.state.capacity * 2
                         )
-                        self.capacity = self.state.capacity
                 self.state, self.adam = new_state, new_adam
+                self.capacity = self.state.capacity
             # resetOpacity cadence (gaussian_mapper.cpp:460): also fires for
             # white-background runs exactly when iteration == densify_from.
             if (
