@@ -112,6 +112,7 @@ class GaussianModel:
         self.state = create_from_pcd(
             jnp.asarray(points), jnp.asarray(colors),
             jnp.ones(len(points), bool), self.capacity,
+            n_rest=(self.max_sh_degree + 1) ** 2 - 1,
         )
         self.adam = AdamState.init(self.state.params())
 
@@ -140,9 +141,21 @@ class GaussianModel:
                 max_screen_size=max_screen_size,
             )
             dropped = int(aux.dropped_for_capacity)
-            if dropped == 0 or attempt == 3:
+            if dropped == 0:
                 break
-            self._ensure(int(self.state.count) // 2 + dropped)
+            if attempt == 3:
+                # mirror GaussianMapper._post_step_phase's give-up path
+                print(
+                    f"[compat] densify surgery still dropping {dropped} "
+                    f"points after {attempt + 1} capacity growths; "
+                    "accepting the lossy result"
+                )
+                break
+            # grow relative to the CURRENT state capacity (guaranteed
+            # progress, like the mapper's grow-and-redo loop) — a target
+            # below the present capacity would re-run the identical
+            # lossy surgery forever
+            self._ensure(self.state.capacity + dropped)
         self.state, self.adam = new_state, new_adam
         self.capacity = self.state.capacity
 

@@ -40,6 +40,35 @@ class UndistortRectifier:
 
         return cv2.remap(image, *self.maps, cv2.INTER_LINEAR)
 
+    def backproject_depth(self, depth: np.ndarray, stride: int = 1) -> np.ndarray:
+        """Raw (distorted) depth image -> camera-frame points [M, 3].
+
+        The training target is the undistorted image (GaussianMapper trains
+        on the remapped frame, gaussian_mapper.cpp:172-204), so seed points
+        backprojected from raw RGB-D depth must go through the distortion
+        model too — a plain pinhole backprojection of distorted pixels is
+        off by tens of pixels at the borders of e.g. TUM fr1 (k1=0.26) and
+        would keep re-seeding misplaced border geometry every keyframe.
+        Mirrors how the reference's ORB-SLAM3 feed delivers undistortion-
+        consistent map points. Invalid (<= 0) depth is dropped; the valid
+        mask matches `depth[::stride, ::stride] > 0` row-major order, so
+        callers can sample colors from the raw image at the same pixels."""
+        import cv2
+
+        h, w = depth.shape
+        ys, xs = np.meshgrid(
+            np.arange(0, h, stride), np.arange(0, w, stride), indexing="ij"
+        )
+        d = depth[ys, xs]
+        valid = d > 0
+        pix = np.stack([xs[valid], ys[valid]], -1).astype(np.float64)
+        if len(pix) == 0:
+            return np.zeros((0, 3), np.float32)
+        norm = cv2.undistortPoints(pix[None], self.k, self.dist).reshape(-1, 2)
+        dv = d[valid].astype(np.float64)
+        pts = np.stack([norm[:, 0] * dv, norm[:, 1] * dv, dv], -1)
+        return pts.astype(np.float32)
+
     def pyramid_masks(self, factors) -> list[np.ndarray]:
         import cv2
 

@@ -244,7 +244,10 @@ class GaussianMapper:
         if not self.initial_mapped:
             _, self.scene.cameras_extent = self.scene.nerfpp_norm()
             self.spatial_lr_scale = max(self.scene.cameras_extent, 1e-6)
-            self.state = create_from_pcd(pts, cols, valid, self.capacity)
+            n_rest = (self.settings.model.sh_degree + 1) ** 2 - 1
+            self.state = create_from_pcd(
+                pts, cols, valid, self.capacity, n_rest=n_rest
+            )
             self.adam = AdamState.init(self.state.params())
             self.initial_mapped = True
         else:
@@ -461,8 +464,18 @@ class GaussianMapper:
         for _ in range(n_dev):
             kf = self._use_one_random_sliding_window_keyframe()
             if kf is None:
-                return None
+                break
             kfs.append(kf)
+        if not kfs:
+            return None
+        # If the sliding window ran dry mid-batch, pad by repeating sampled
+        # keyframes: the per-view math is identical and the pmean gradient
+        # stays correct (a repeated view just gets extra weight), whereas
+        # aborting here would silently discard the times-of-use already
+        # consumed for the earlier slots.
+        n0 = len(kfs)
+        for i in range(n_dev - n0):
+            kfs.append(kfs[i % n0])
         self.iteration += 1
 
         h, w = kfs[0].image.shape[:2]
@@ -660,7 +673,30 @@ class GaussianMapper:
             from ..data.replica import backproject_depth
 
             intr = intrinsics or self._intr_from_image(image)
-            pts_cam = backproject_depth(depth, intr, stride=4)
+            dist_raw = getattr(intr, "dist", None)
+            dist = np.asarray(() if dist_raw is None else dist_raw)
+            if dist.size and np.any(dist != 0):
+                # Distorted camera: backproject through the distortion model
+                # so the seed cloud projects consistently onto the
+                # undistorted training image (see UndistortRectifier.
+                # backproject_depth). Colors stay sampled from the raw image
+                # at the raw pixels — same physical ray, no resampling.
+                from .camera_undistort import UndistortRectifier
+
+                k = np.array(
+                    [[intr.fx, 0, intr.cx], [0, intr.fy, intr.cy], [0, 0, 1]],
+                    np.float64,
+                )
+                h0, w0 = depth.shape[:2]
+                key = (intr.fx, intr.fy, intr.cx, intr.cy, w0, h0,
+                       dist.astype(np.float64).tobytes())
+                und = self._undistorters.get(key)
+                if und is None:
+                    und = UndistortRectifier(k, dist.astype(np.float64), w0, h0)
+                    self._undistorters[key] = und
+                pts_cam = und.backproject_depth(depth, stride=4)
+            else:
+                pts_cam = backproject_depth(depth, intr, stride=4)
             t = np.asarray(t_wc, np.float64)
             points = (pts_cam @ t[:3, :3].T + t[:3, 3]).astype(np.float32)
             ys, xs = np.meshgrid(
@@ -914,6 +950,10 @@ class GaussianMapper:
                 "iteration": np.asarray(self.iteration),
                 "spatial_lr_scale": np.asarray(self.spatial_lr_scale),
                 "cameras_extent": np.asarray(self.scene.cameras_extent),
+                # pair-capacity tuning state: a resume must not re-learn
+                # max_pairs through overflow warnings and recompiles
+                "max_pairs": np.asarray(self.max_pairs),
+                "pairs_high_water": np.asarray(self._pairs_high_water),
             }
         )
         for k, v in self.adam.m.items():
@@ -943,6 +983,9 @@ class GaussianMapper:
         self.iteration = int(z["iteration"])
         self.spatial_lr_scale = float(z["spatial_lr_scale"])
         self.scene.cameras_extent = float(z["cameras_extent"])
+        if "max_pairs" in z.files:  # older checkpoints predate these
+            self.max_pairs = int(z["max_pairs"])
+            self._pairs_high_water = int(z["pairs_high_water"])
         self.initial_mapped = True
 
     def set_sh_degree(self, degree: int | None) -> None:

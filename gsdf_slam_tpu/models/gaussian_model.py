@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..ops.knn import knn_mean_dist2
+from ..ops.knn import knn_mean_dist2_auto
 from ..ops.sh import rgb_to_sh
 from ..ops.transforms import inverse_sigmoid, quat_to_rotmat
 from .optimizer import PARAM_GROUPS, AdamState
@@ -48,7 +48,7 @@ class GaussianState:
 
     xyz: jnp.ndarray  # [C, 3]
     f_dc: jnp.ndarray  # [C, 1, 3]
-    f_rest: jnp.ndarray  # [C, 15, 3]
+    f_rest: jnp.ndarray  # [C, R, 3]; R = (sh_degree+1)^2 - 1 (15 at deg 3)
     opacity: jnp.ndarray  # [C, 1] raw (pre-sigmoid)
     scaling: jnp.ndarray  # [C, 3] raw (log)
     rotation: jnp.ndarray  # [C, 4] raw (unnormalized wxyz)
@@ -127,18 +127,24 @@ def _isin(query: jnp.ndarray, table: jnp.ndarray, table_valid: jnp.ndarray) -> j
     return (tbl[idx_c] == query) & (idx < tbl.shape[0])
 
 
-def _new_point_params(points, colors, valid, iteration):
+def _new_point_params(points, colors, valid, iteration, n_rest: int = 15):
     """Shared init for createFromPcd/increasePcd (gaussian_model.cpp:150-196,
-    248-297): SH-dc from RGB, zero rest, knn scales, identity rot, 0.1 op."""
+    248-297): SH-dc from RGB, zero rest, knn scales, identity rot, 0.1 op.
+
+    `n_rest` sizes features_rest by the configured SH degree like the
+    reference ((sh_degree+1)^2-1 rows, gaussian_model.cpp:150-163) — a
+    degree-1 model trains/stores 3 rest coefficients, not 15."""
     n = points.shape[0]
-    dist2 = jnp.maximum(knn_mean_dist2(points, valid), 1e-7)
+    # Exact 3-NN on the host at ingest; windowed Morton approximation under
+    # tracing (PARITY D2 closed for the eager path).
+    dist2 = jnp.maximum(knn_mean_dist2_auto(points, valid), 1e-7)
     scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
     rots = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
     opac = inverse_sigmoid(0.1 * jnp.ones((n, 1), jnp.float32))
     return {
         "xyz": points.astype(jnp.float32),
         "f_dc": rgb_to_sh(colors.astype(jnp.float32))[:, None, :],
-        "f_rest": jnp.zeros((n, 15, 3), jnp.float32),
+        "f_rest": jnp.zeros((n, n_rest, 3), jnp.float32),
         "opacity": opac,
         "scaling": scales,
         "rotation": rots,
@@ -150,6 +156,7 @@ def create_from_pcd(
     colors: jnp.ndarray,
     valid: jnp.ndarray,
     capacity: int,
+    n_rest: int = 15,
 ) -> GaussianState:
     """Initialize from the first colorized cloud (createFromPcd :130-199).
 
@@ -170,7 +177,7 @@ def create_from_pcd(
         pts, cols, vmask = pts[:capacity], cols[:capacity], vmask[:capacity]
         m = capacity
 
-    p, exist = _new_point_params(pts, cols, vmask, 0)
+    p, exist = _new_point_params(pts, cols, vmask, 0, n_rest=n_rest)
 
     def pad(a):
         return jnp.zeros((capacity,) + a.shape[1:], a.dtype).at[:m].set(a)
@@ -340,7 +347,9 @@ def increase_pcd(
     new_hash = voxel_hash(points)
     exists = _isin(new_hash, voxel_hash(state.xyz), state.alive)
     keep = valid & ~exists
-    new_p, exist = _new_point_params(points, colors, keep, iteration)
+    new_p, exist = _new_point_params(
+        points, colors, keep, iteration, n_rest=state.f_rest.shape[1]
+    )
     return _append(state, adam, new_p, exist, keep)
 
 

@@ -103,8 +103,8 @@ def _make_realign(ng: int, src_lanes: int, mpa: int, chunk: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((PACK, chunk + 128), jnp.float32),
             pltpu.VMEM((PACK, chunk), jnp.float32),

@@ -152,7 +152,7 @@ def _run_fwd(ranges, pairs, num_tiles, grid_w, chunk):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, PIX_PER_TILE, 3), lambda i, r: (i, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, 1), lambda i, r: (i, 0, 0)),
@@ -250,13 +250,13 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, num_tiles, grid_w, chu
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, PIX_PER_TILE, 1), lambda i, r: (i, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, 3), lambda i, r: (i, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, 1), lambda i, r: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 1), lambda i, r: (i, 0, 0)),
         ],
         scratch_shapes=[

@@ -167,7 +167,7 @@ def _run_fwd(ranges, pairs, ng, grid_w, chunk, group):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
@@ -321,14 +321,14 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, gro
         num_scalar_prefetch=1,
         grid=(ng,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
             pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, 1), lambda i, r: (i, 0, 0)),
         ],
         scratch_shapes=[

@@ -181,8 +181,11 @@ def eval_sh_color(
         j = jnp.arange(k)
         band = jnp.floor(jnp.sqrt(j.astype(jnp.float32))).astype(jnp.int32)
         basis = jnp.where(band[None, :] <= active_degree, basis, 0.0)
-    coeffs = jnp.concatenate([dc, sh_rest], axis=1)  # [N, 16, 3]
+    coeffs = jnp.concatenate([dc, sh_rest], axis=1)  # [N, 1+R, 3]
+    # A state sized for a lower degree than `degree` simply has no higher
+    # coefficients — identical to evaluating them as zero.
+    k = min(k, coeffs.shape[1])
     # broadcast-multiply-reduce on the VPU: a batched [16]x[16,3] einsum
     # lowers to per-point micro-matmuls, ~100x slower on TPU.
-    rgb = jnp.sum(basis[:, :, None] * coeffs[:, :k, :], axis=1) + 0.5
+    rgb = jnp.sum(basis[:, :k, None] * coeffs[:, :k, :], axis=1) + 0.5
     return jnp.maximum(rgb, 0.0)

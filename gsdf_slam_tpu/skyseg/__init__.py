@@ -47,7 +47,18 @@ class SkySegmenter:
         x = img.transpose(2, 0, 1)[None]  # [1, 3, 320, 320]
         feed_name = self.graph.inputs[0]
         out = self.executor.run({feed_name: x})
-        raw = np.asarray(out[self.graph.outputs[0]], np.float32).reshape(320, 320)
+        raw_out = np.asarray(out[self.graph.outputs[0]], np.float32)
+        if raw_out.size % (320 * 320) != 0:
+            raise ValueError(
+                "skyseg: unexpected network output shape "
+                f"{raw_out.shape} — expected planes of 320x320 (the "
+                "reference reads the first plane as cv::Mat(320,320,"
+                "CV_32FC1), gaussian_mapper.cpp:254-259)"
+            )
+        # Take the FIRST 320x320 plane: a two-class head ([1,2,320,320])
+        # degrades to its first channel exactly like the reference's
+        # cv::Mat(320,320,CV_32FC1,data) view of the output buffer.
+        raw = raw_out.reshape(-1, 320, 320)[0]
         lo, hi = float(raw.min()), float(raw.max())
         norm = (raw - lo) / (hi - lo) if hi > lo else np.zeros_like(raw)
         u8 = (norm * 255.0).astype(np.uint8)

@@ -311,13 +311,22 @@ class OnnxExecutor:
             kshape = a.get("kernel_shape", list(w.shape[2:]))
             strides = a.get("strides", [1] * len(kshape))
             pads = a.get("pads", [0] * (2 * len(kshape)))
+            out_pad = a.get("output_padding", [0] * len(kshape))
             groups = a.get("group", 1)
-            # transpose conv = lhs-dilated conv with flipped, swapped kernel
-            wt = np.flip(w, axis=tuple(range(2, w.ndim))).swapaxes(0, 1)
-            if groups != 1:
-                raise NotImplementedError("grouped ConvTranspose")
+            # transpose conv = lhs-dilated conv with flipped, swapped kernel.
+            # Grouped (common in U-Net decoders): ONNX weight is
+            # [C_in, C_out/G, kh, kw] with C_in split into G groups; the
+            # equivalent grouped forward conv wants OIHW = [C_out, C_in/G,
+            # kh, kw] with the flip+swap applied PER GROUP.
+            wf = np.flip(w, axis=tuple(range(2, w.ndim)))
+            cin, cog = w.shape[0], w.shape[1]
+            wt = (
+                wf.reshape((groups, cin // groups, cog) + w.shape[2:])
+                .swapaxes(1, 2)
+                .reshape((groups * cog, cin // groups) + w.shape[2:])
+            )
             pad = [
-                (k - 1 - pads[i], k - 1 - pads[i + len(kshape)])
+                (k - 1 - pads[i], k - 1 - pads[i + len(kshape)] + out_pad[i])
                 for i, k in enumerate(kshape)
             ]
             y = np.asarray(
@@ -326,6 +335,7 @@ class OnnxExecutor:
                     window_strides=[1] * len(kshape), padding=pad,
                     lhs_dilation=strides,
                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                    feature_group_count=groups,
                 )
             )
             if len(x) > 2 and x[2] is not None:

@@ -202,10 +202,12 @@ def test_sort_expand_pack_layout():
     gid = np.asarray(
         jax.lax.bitcast_convert_type(sp.pairs[10], jnp.int32)
     )
-    slot = np.asarray(sp.pairs[9]).astype(np.int32)
+    # slice BEFORE the int cast: tail slots hold neighbor-field garbage
+    # (bitcast rows), and casting NaN floats raises a RuntimeWarning
+    slot = np.asarray(sp.pairs[9][:5]).astype(np.int32)
     # sorted: tile0 [g0(d2), g2(d3)], tile1 [g1(d1), g0(d2)], tile4 [g2]
     np.testing.assert_array_equal(gid[:5], [0, 2, 1, 0, 2])
-    np.testing.assert_array_equal(slot[:5], [0, 0, 1, 1, 4])
+    np.testing.assert_array_equal(slot, [0, 0, 1, 1, 4])
     # payload rode along: row 0 is means2d.x, rows 6..8 are colors
     np.testing.assert_allclose(np.asarray(sp.pairs[0])[:5], [8, 8, 24, 8, 8])
     np.testing.assert_allclose(np.asarray(sp.pairs[6])[:5], [1, 0, 0, 1, 0])

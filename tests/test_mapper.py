@@ -165,3 +165,28 @@ def test_pair_overflow_retries_same_iteration(capsys):
     assert m.max_pairs > 16
     assert "pair overflow" in capsys.readouterr().out
     assert m.iteration == 1
+
+
+def test_sh_degree_sizes_f_rest(tmp_path):
+    """A sh_degree: 1 config trains (deg+1)^2-1 = 3 rest coefficients and
+    exports the degree-1 3DGS PLY layout (f_rest_0..8), like the reference
+    sizes features_rest by degree (gaussian_model.cpp:150-163)."""
+    import dataclasses as dc
+
+    from gsdf_slam_tpu.config import ModelParams
+    from gsdf_slam_tpu.io.ply import read_ply
+
+    frames = make_frames(n=2)
+    m = _mapper(frames)
+    m.settings = dc.replace(m.settings, model=ModelParams(sh_degree=1))
+    m.ingest_frame(0, frames[0])
+    assert m.state.f_rest.shape[1:] == (3, 3)
+    assert m.adam.m["f_rest"].shape[1:] == (3, 3)
+    m.ingest_frame(1, frames[1])  # increase_pcd keeps the degree-1 sizing
+    assert m.state.f_rest.shape[1:] == (3, 3)
+    r = m.train_for_one_iteration()
+    assert np.isfinite(r["loss"])
+    ply = m.save_ply(tmp_path)
+    props = read_ply(ply)
+    rest_cols = [k for k in props if k.startswith("f_rest_")]
+    assert len(rest_cols) == 9  # 3 coeffs x 3 channels, degree-1 layout

@@ -153,3 +153,44 @@ def test_isin():
     q = jnp.asarray(np.array([1, 5, 9, 8, 7], np.int32))
     got = np.asarray(_isin(q, tbl, valid))
     np.testing.assert_array_equal(got, [False, True, True, False, True])
+
+
+def test_knn_exact_adversarial():
+    """Adversarial distribution where the +-window Morton approximation is
+    provably off: two dense sheets straddling the bbox midplane in x. The
+    Morton sort's high x-bit separates the sheets, so each point's TRUE
+    nearest neighbors (its partner 1e-3 across the plane) sit ~n/2 away in
+    sorted order — far outside any fixed window. The exact KD-tree path
+    (simple_knn.cu:148-183 box-pruned exact equivalent) must find them."""
+    from gsdf_slam_tpu.ops.knn import knn_mean_dist2_auto, knn_mean_dist2_exact
+
+    rng = np.random.default_rng(0)
+    n_side = 200
+    yz = rng.uniform(0.0, 10.0, (n_side, 2))
+    left = np.column_stack([np.full(n_side, 4.9995), yz])
+    # each left point's THREE true nearest neighbors sit just across the
+    # midplane (all of its 3-NN set is on the far side of the Morton split)
+    rights = [
+        np.column_stack([np.full(n_side, 5.0005 + 0.0001 * j), yz])
+        for j in range(3)
+    ]
+    pts = np.concatenate([left] + rights).astype(np.float32)
+    valid = np.ones(len(pts), bool)
+
+    exact = knn_mean_dist2_exact(pts, valid)
+    # brute force ground truth
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    gt = np.sort(d2, axis=1)[:, :3].mean(1)
+    np.testing.assert_allclose(exact, gt, rtol=1e-4, atol=1e-10)
+
+    approx = np.asarray(knn_mean_dist2(jnp.asarray(pts), jnp.asarray(valid)))
+    # the windowed pass misses the cross-plane partners for the left sheet
+    ratio = approx[:n_side] / np.maximum(gt[:n_side], 1e-12)
+    assert np.median(ratio) > 100.0
+
+    # eager auto path routes to exact; traced auto path stays finite
+    auto = np.asarray(knn_mean_dist2_auto(pts, valid))
+    np.testing.assert_allclose(auto, gt, rtol=1e-5)
+    traced = jax.jit(knn_mean_dist2_auto)(jnp.asarray(pts), jnp.asarray(valid))
+    assert np.isfinite(np.asarray(traced)).all()

@@ -6,7 +6,6 @@ The fixtures are ONNX files built by a local protobuf wire-format encoder
 package is needed.
 """
 
-import struct
 
 import numpy as np
 import pytest
@@ -14,83 +13,9 @@ import pytest
 from gsdf_slam_tpu.skyseg import SkySegmenter
 from gsdf_slam_tpu.skyseg.onnx_rt import OnnxExecutor, load_model
 
-# ---------------------------------------------------------------- encoder
-
-
-def _varint(v: int) -> bytes:
-    out = b""
-    v &= (1 << 64) - 1
-    while True:
-        b = v & 0x7F
-        v >>= 7
-        if v:
-            out += bytes([b | 0x80])
-        else:
-            return out + bytes([b])
-
-
-def _tag(fnum: int, wtype: int) -> bytes:
-    return _varint(fnum << 3 | wtype)
-
-
-def _ld(fnum: int, payload: bytes) -> bytes:  # length-delimited
-    return _tag(fnum, 2) + _varint(len(payload)) + payload
-
-
-def _vi(fnum: int, v: int) -> bytes:  # varint field
-    return _tag(fnum, 0) + _varint(v)
-
-
-def _f32(fnum: int, v: float) -> bytes:  # fixed32 field
-    return _tag(fnum, 5) + struct.pack("<f", v)
-
-
-def tensor_proto(name: str, arr: np.ndarray) -> bytes:
-    arr = np.asarray(arr)
-    dt = {np.float32: 1, np.int64: 7}[arr.dtype.type]
-    buf = b"".join(_vi(1, d) for d in arr.shape)
-    buf += _vi(2, dt)
-    buf += _ld(8, name.encode())
-    buf += _ld(9, arr.tobytes())
-    return buf
-
-
-def attr(name: str, value) -> bytes:
-    buf = _ld(1, name.encode())
-    if isinstance(value, float):
-        buf += _f32(2, value)
-    elif isinstance(value, bool) or isinstance(value, int):
-        buf += _vi(3, int(value))
-    elif isinstance(value, str):
-        buf += _ld(4, value.encode())
-    elif isinstance(value, (list, tuple)) and all(
-        isinstance(v, int) for v in value
-    ):
-        buf += b"".join(_vi(8, v) for v in value)
-    elif isinstance(value, (list, tuple)):
-        buf += b"".join(_f32(7, v) for v in value)
-    elif isinstance(value, np.ndarray):
-        buf += _ld(5, tensor_proto("", value))
-    else:
-        raise TypeError(type(value))
-    return buf
-
-
-def node(op: str, inputs, outputs, **attrs) -> bytes:
-    buf = b"".join(_ld(1, i.encode()) for i in inputs)
-    buf += b"".join(_ld(2, o.encode()) for o in outputs)
-    buf += _ld(4, op.encode())
-    buf += b"".join(_ld(5, attr(k, v)) for k, v in attrs.items())
-    return buf
-
-
-def model_bytes(nodes, initializers, inputs, outputs) -> bytes:
-    g = b"".join(_ld(1, n) for n in nodes)
-    g += b"".join(_ld(5, tensor_proto(k, v)) for k, v in initializers.items())
-    g += b"".join(_ld(11, _ld(1, i.encode())) for i in inputs)
-    g += b"".join(_ld(12, _ld(1, o.encode())) for o in outputs)
-    return _vi(1, 7) + _ld(7, g)
-
+from onnx_builder import (  # noqa: E402  (shared with the fixture generator)
+    attr, model_bytes, node, tensor_proto,
+)
 
 # ------------------------------------------------------------------ tests
 
@@ -217,3 +142,31 @@ def test_mapper_skyseg_wiring(tmp_path):
     assert np.all(kf.image[12:] > 0.0)
     assert kf.mask is not None
     assert np.all(kf.mask[:8] == 0.0) and np.all(kf.mask[12:] == 1.0)
+
+
+def test_onnx_tiny_unet_fixture_matches_golden():
+    """The COMMITTED real-architecture U-Net fixture (Conv+BN+ReLU encoder,
+    grouped ConvTranspose decoder, skip Concat, sigmoid head at 320x320)
+    runs through the executor and matches the committed torch golden."""
+    from pathlib import Path
+
+    fx = Path(__file__).parent / "fixtures"
+    ex = OnnxExecutor(load_model(fx / "tiny_unet_skyseg.onnx"))
+    g = np.load(fx / "tiny_unet_golden.npz")
+    got = ex.run({"input": g["x"]})["prob"]
+    assert got.shape == (1, 1, 320, 320)
+    np.testing.assert_allclose(got, g["y"], rtol=1e-4, atol=1e-5)
+
+
+def test_sky_segmenter_runs_real_unet_fixture():
+    """SkySegmenter end-to-end over the committed U-Net: a [1,1,320,320]
+    head reshapes through the first-plane path and yields a full-res mask."""
+    pytest.importorskip("cv2")
+    from pathlib import Path
+
+    fx = Path(__file__).parent / "fixtures"
+    seg = SkySegmenter(fx / "tiny_unet_skyseg.onnx")
+    img = np.random.default_rng(3).uniform(0, 1, (96, 128, 3)).astype(np.float32)
+    mask = seg(img)
+    assert mask.shape == (96, 128)
+    assert mask.dtype == bool
