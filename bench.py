@@ -14,6 +14,7 @@ target is vs_baseline >= 2.0.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 
@@ -24,8 +25,13 @@ A100_REFERENCE_ITERS_PER_SEC = 30.0
 HEIGHT, WIDTH = 680, 1200
 N_GAUSSIANS = 200_000
 CAPACITY = 1 << 18
-MAX_PAIRS = 212992  # autosized-realistic: 1.15x the observed 184.6k pairs, 16k-granular
+# autosized-realistic: 1.15x the observed 156.3k pairs (exact-KNN scale
+# init, r3), 16k-granular — what mapper._autosize_pairs would settle on
+MAX_PAIRS = int(os.environ.get("GSDF_BENCH_MAX_PAIRS", 180224))
 CHUNK = 1024
+# kernel-shape sweep knobs (defaults = production config)
+PALLAS_CHUNK = int(os.environ.get("GSDF_BENCH_PALLAS_CHUNK", 128))
+PALLAS_GROUP = int(os.environ.get("GSDF_BENCH_PALLAS_GROUP", 8))
 WARMUP = 3
 ITERS = 20
 
@@ -62,7 +68,10 @@ def main():
     fovx = 2 * np.arctan(WIDTH / (2 * 600.0))
     fovy = 2 * np.arctan(HEIGHT / (2 * 600.0))
     cam = CameraMatrices.from_pose(np.array([1.0, 0, 0, 0]), np.zeros(3), fovx, fovy)
-    cfg = RasterizeConfig(height=HEIGHT, width=WIDTH, max_pairs=MAX_PAIRS, chunk=CHUNK)
+    cfg = RasterizeConfig(
+        height=HEIGHT, width=WIDTH, max_pairs=MAX_PAIRS, chunk=CHUNK,
+        pallas_chunk=PALLAS_CHUNK, pallas_group=PALLAS_GROUP,
+    )
     opt = OptimizationParams()
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))

@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""End-to-end streaming benchmark: the number a SLAM system lives on.
+
+The jitted-step bench (bench.py) measures steady-state compute; this
+measures the FULL streaming loop the reference runs online — per frame:
+host ingest (backprojection, pyramid build, keyframe registration, voxel
+dedup) + 1 training iteration (src/gaussian_mapper.cpp:328-331) — and
+reports wall-clock frames/sec end to end, with compile count/wall surfaced
+separately so amortization regressions are visible.
+
+    python benchmarks/e2e_stream.py [--frames 60] [--res 1200x680]
+        [--warm]   # second run in-process to show the compile-cache effect
+
+Writes E2E.json at the repo root (committed artifact; bench.py attaches it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def run_stream(n_frames: int, width: int, height: int, presize: bool = True):
+    from benchmarks.synthetic_room import make_sequence
+    from gsdf_slam_tpu.config import OptimizationParams
+    from gsdf_slam_tpu.data import CameraIntrinsics
+    from gsdf_slam_tpu.engine import GaussianMapper, MapperSettings
+
+    # Replica-RGB-D-style schedule, 1 train iteration per ingested frame
+    # plus window re-uses, like the reference's online loop.
+    settings = MapperSettings(
+        opt=OptimizationParams(
+            densification_interval=100,
+            densify_from_iter=50,
+            densify_until_iter=10_000,
+            opacity_reset_interval=0,
+        ),
+        new_keyframe_times_of_use=3,
+        do_inactive_geo_densify=False,
+        presize_capacity=(1 << 18) if presize else 0,
+        presize_max_pairs=(360 * 1024) if presize else 0,
+        auto_size_pairs_setting=0 if presize else 1,
+    )
+    mapper = GaussianMapper(settings=settings, ingest_capacity=1 << 16)
+    fov = np.pi / 2
+    fx = 0.5 * width / np.tan(fov / 2)
+    intr = CameraIntrinsics(
+        fx=fx, fy=fx, cx=(width - 1) / 2.0, cy=(height - 1) / 2.0,
+        width=width, height=height,
+    )
+    frames = make_sequence(n_frames, width, height, fov)
+
+    t0 = time.perf_counter()
+    n_iters = 0
+    for i, (pose, rgb, depth) in enumerate(frames):
+        mapper.feed_keyframe(i, pose, rgb, depth=depth, intrinsics=intr)
+        if mapper.train_for_one_iteration() is not None:
+            n_iters += 1
+    # drain the keyframe window like the reference's post-stream training
+    while True:
+        out = mapper.train_for_one_iteration()
+        if out is None:
+            break
+        n_iters += 1
+    wall = time.perf_counter() - t0
+    return {
+        "frames": n_frames,
+        "resolution": f"{width}x{height}",
+        "iterations": n_iters,
+        "wall_s": round(wall, 2),
+        "frames_per_sec": round(n_frames / wall, 3),
+        "iters_per_sec_e2e": round(n_iters / wall, 3),
+        "gaussians": int(mapper.state.count),
+        "compiles": mapper.compile_count,
+        "compile_wall_s": round(mapper.compile_wall, 2),
+        "compile_share": round(mapper.compile_wall / wall, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--res", default="1200x680")
+    ap.add_argument("--no-presize", action="store_true")
+    ap.add_argument("--warm", action="store_true",
+                    help="run twice; report the second (cache-warm) run too")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    w, h = (int(v) for v in args.res.split("x"))
+
+    import jax
+
+    result = {"platform": jax.devices()[0].platform}
+    result["cold"] = run_stream(args.frames, w, h, presize=not args.no_presize)
+    if args.warm:
+        result["warm"] = run_stream(args.frames, w, h, presize=not args.no_presize)
+    print(json.dumps(result, indent=2))
+    out = Path(args.out) if args.out else Path(__file__).parent.parent / "E2E.json"
+    out.write_text(json.dumps(result, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,8 @@ def run_quality(
     times_of_use: int = 8,
     cloud_stride: int = 4,
     progress: bool = True,
+    hard: bool = False,
+    mesh=None,
 ):
     import jax.numpy as jnp
 
@@ -58,7 +60,7 @@ def run_quality(
     )
     mapper = GaussianMapper(
         settings=settings, capacity=capacity, max_pairs=max_pairs,
-        ingest_capacity=1 << 16,
+        ingest_capacity=1 << 16, mesh=mesh,
     )
     # Fixed pair capacity: autosizing would recompile on every 16k growth
     # step as the map densifies — fine on-chip, pathological over a remote
@@ -72,7 +74,7 @@ def run_quality(
     )
 
     t0 = time.time()
-    frames = make_sequence(n_frames, width, height, fov)
+    frames = make_sequence(n_frames, width, height, fov, hard=hard)
     for i, (pose, rgb, depth) in enumerate(frames):
         mapper.feed_keyframe(i, pose, rgb, depth=depth, intrinsics=intr)
         mapper.train_for_one_iteration()
@@ -89,7 +91,7 @@ def run_quality(
 
     psnrs, ssims = [], []
     for pose in make_eval_poses(n_eval, n_frames):
-        gt, _ = raycast_room(pose, width, height, fov)
+        gt, _ = raycast_room(pose, width, height, fov, hard=hard)
         # fovx/fovy default to the registered camera's values (fovy != fov:
         # it derives from fy and the image HEIGHT)
         img = mapper.render_from_pose(
@@ -108,6 +110,9 @@ def run_quality(
         "iterations": mapper.iteration,
         "gaussians": int(mapper.state.count),
         "train_seconds": round(train_s, 1),
+        "scene": "hard" if hard else "easy",
+        "compiles": mapper.compile_count,
+        "compile_wall_s": round(mapper.compile_wall, 1),
     }
 
 
@@ -117,12 +122,24 @@ def main():
     ap.add_argument("--res", default="640x360")
     ap.add_argument("--iterations", type=int, default=4000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--easy", action="store_true",
+                    help="round-2 scene (no occluders/specular/fine texture)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="view-parallel training over an N-device mesh")
     args = ap.parse_args()
     w, h = (int(v) for v in args.res.split("x"))
 
     import jax
 
-    res = run_quality(args.frames, w, h, args.iterations)
+    mesh = None
+    if args.mesh:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[: args.mesh]), ("dp",))
+    res = run_quality(args.frames, w, h, args.iterations,
+                      hard=not args.easy, mesh=mesh)
+    if args.mesh:
+        res["mesh_devices"] = args.mesh
     res["platform"] = jax.default_backend()
     print(json.dumps(res))
 
@@ -130,7 +147,8 @@ def main():
     (root / "QUALITY.json").write_text(json.dumps(res, indent=2) + "\n")
     md = f"""# QUALITY — held-out novel-view fidelity
 
-Command: `python benchmarks/quality.py --frames {args.frames} --res {args.res} --iterations {args.iterations}`
+Command: `python benchmarks/quality.py --frames {args.frames} --res {args.res} --iterations {args.iterations}{' --easy' if args.easy else ''}`
+Scene: **{res['scene']}** ({'round-2 box room' if args.easy else 'occluder boxes + high-frequency texture + view-dependent specular (f_rest-exercising), the round-3 hardened evidence scene'}).
 (deterministic synthetic RGB-D room, benchmarks/synthetic_room.py — no
 dataset ships in this environment; this is the committed, re-runnable
 stand-in for the Replica room0 RGB-D quality target in BASELINE.md).

@@ -58,45 +58,103 @@ def camera_rays(t_wc: np.ndarray, width: int, height: int, fov: float):
     return o, d_cam @ r.T
 
 
-def _face_texture(face: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Smooth gradients + a 0.5m checker, in [0,1]. u/v in world meters."""
+def _face_texture(
+    face: int, u: np.ndarray, v: np.ndarray, hard: bool = False
+) -> np.ndarray:
+    """Smooth gradients + a 0.5m checker, in [0,1]. u/v in world meters.
+
+    `hard` adds high-frequency detail (fine checker + multi-octave
+    sinusoids) that a splat representation must spend many small
+    anisotropic Gaussians on — the round-3 evidence-hardening scene."""
     checker = ((np.floor(u / 0.5) + np.floor(v / 0.5)) % 2.0)[..., None]
     base = _FACE_A[face][None, :] * checker + _FACE_B[face][None, :] * (1 - checker)
     grad = (
         0.15 * np.sin(1.7 * u + 0.9 * face)[..., None]
         + 0.1 * np.cos(2.3 * v - 0.4 * face)[..., None]
     )
-    return np.clip(base + grad, 0.02, 0.98)
+    tex = base + grad
+    if hard:
+        fine = ((np.floor(u / 0.08) + np.floor(v / 0.08)) % 2.0)[..., None]
+        tex = tex + 0.16 * (fine - 0.5)
+        tex = tex + (
+            0.08 * np.sin(23.0 * u + 5.0 * face) * np.sin(19.0 * v)
+            + 0.05 * np.sin(47.0 * (u + v) + face)
+        )[..., None]
+    return np.clip(tex, 0.02, 0.98)
 
 
-def raycast_room(t_wc: np.ndarray, width: int, height: int, fov: float = np.pi / 2):
+# Occluder boxes for the hard scene: interior furniture-scale blocks that
+# shadow large wall areas from many viewpoints (occlusion-heavy geometry).
+_BOXES = [
+    (np.array([0.6, -1.4, -1.5]), np.array([1.5, -0.5, -0.2])),
+    (np.array([-1.6, 0.7, -1.5]), np.array([-0.8, 1.5, 0.5])),
+    (np.array([-0.4, -0.5, -0.1]), np.array([0.4, 0.4, 0.6])),
+]
+_LIGHT = np.array([0.30, -0.45, 0.84])
+_LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+
+
+def raycast_room(
+    t_wc: np.ndarray,
+    width: int,
+    height: int,
+    fov: float = np.pi / 2,
+    hard: bool = False,
+):
     """Render (rgb [H,W,3], zdepth [H,W]) of the room from camera pose T_wc.
 
-    OpenCV camera convention: +z forward, +x right, +y down."""
+    OpenCV camera convention: +z forward, +x right, +y down. `hard` adds
+    occluder boxes, high-frequency texture, and a Blinn-Phong specular
+    term that varies with VIEW direction — view-dependent color the splat
+    model can only fit through its f_rest SH coefficients."""
     o, d = camera_rays(t_wc, width, height, fov)
 
     best_t = np.full((height, width), np.inf)
     rgb = np.zeros((height, width, 3))
+    normal = np.zeros((height, width, 3)) if hard else None
     axes = [(0, 1, 2), (1, 0, 2), (2, 0, 1)]
-    face = 0
-    for ax, ua, va in axes:
-        for bound in (ROOM_MAX[ax], ROOM_MIN[ax]):
-            with np.errstate(divide="ignore", invalid="ignore"):
-                t = (bound - o[ax]) / d[..., ax]
-            hit_u = o[ua] + t * d[..., ua]
-            hit_v = o[va] + t * d[..., va]
-            ok = (
-                (t > 1e-6)
-                & (t < best_t)
-                & (hit_u >= ROOM_MIN[ua] - 1e-9)
-                & (hit_u <= ROOM_MAX[ua] + 1e-9)
-                & (hit_v >= ROOM_MIN[va] - 1e-9)
-                & (hit_v <= ROOM_MAX[va] + 1e-9)
-            )
-            col = _face_texture(face, hit_u[ok], hit_v[ok])
-            rgb[ok] = col
-            best_t[ok] = t[ok]
-            face += 1
+
+    def cast_faces(bmin, bmax, face0, inward):
+        nonlocal best_t
+        face = face0
+        for ax, ua, va in axes:
+            for k, bound in enumerate((bmax[ax], bmin[ax])):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (bound - o[ax]) / d[..., ax]
+                hit_u = o[ua] + t * d[..., ua]
+                hit_v = o[va] + t * d[..., va]
+                ok = (
+                    (t > 1e-6)
+                    & (t < best_t)
+                    & (hit_u >= bmin[ua] - 1e-9)
+                    & (hit_u <= bmax[ua] + 1e-9)
+                    & (hit_v >= bmin[va] - 1e-9)
+                    & (hit_v <= bmax[va] + 1e-9)
+                )
+                col = _face_texture(face % 6, hit_u[ok], hit_v[ok], hard=hard)
+                rgb[ok] = col
+                best_t[ok] = t[ok]
+                if hard:
+                    # surface normal facing the camera side: walls face
+                    # inward, box faces outward
+                    n = np.zeros(3)
+                    n[ax] = (-1.0 if k == 0 else 1.0) * (1.0 if inward else -1.0)
+                    normal[ok] = n
+                face += 1
+
+    cast_faces(ROOM_MIN, ROOM_MAX, 0, inward=True)
+    if hard:
+        for bi, (bmin, bmax) in enumerate(_BOXES):
+            cast_faces(bmin, bmax, 2 * bi + 1, inward=False)
+        # Blinn-Phong specular: depends on the VIEW direction, so the same
+        # surface point changes color across training views (forces f_rest)
+        hit_p = o[None, None, :] + best_t[..., None] * d
+        w = o[None, None, :] - hit_p
+        w = w / np.maximum(np.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        h = w + _LIGHT[None, None, :]
+        h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+        spec = np.maximum((normal * h).sum(-1), 0.0) ** 16
+        rgb = np.clip(rgb + 0.45 * spec[..., None], 0.0, 1.0)
     return rgb.astype(np.float32), best_t.astype(np.float32)
 
 
@@ -116,7 +174,13 @@ def room_pose(yaw: float, pitch: float = 0.0, radius: float = 0.3) -> np.ndarray
     return t.astype(np.float32)
 
 
-def make_sequence(n_frames: int, width: int, height: int, fov: float = np.pi / 2):
+def make_sequence(
+    n_frames: int,
+    width: int,
+    height: int,
+    fov: float = np.pi / 2,
+    hard: bool = False,
+):
     """Training trajectory: two yaw rings (pitch -0.2 / +0.2) so the full
     wall height is imaged — the camera fovy (~74 deg at 4:3) cannot cover
     floor-to-ceiling from one pitch."""
@@ -127,7 +191,7 @@ def make_sequence(n_frames: int, width: int, height: int, fov: float = np.pi / 2
         yaw = 2 * np.pi * (i % per_ring) / per_ring + 0.1 * ring
         pitch = -0.2 if ring == 0 else 0.2
         pose = room_pose(yaw, pitch)
-        rgb, depth = raycast_room(pose, width, height, fov)
+        rgb, depth = raycast_room(pose, width, height, fov, hard=hard)
         frames.append((pose, rgb, depth))
     return frames
 

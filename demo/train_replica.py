@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--max-pairs", type=int, default=1 << 21)
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--viewer", action="store_true")
+    ap.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="multi-chip mode: view-parallel training over an N-device "
+        "jax mesh (each iteration batches N keyframes, pmean grads over "
+        "ICI; parallel/sharding.py). 0 = single device.",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -44,6 +50,22 @@ def main():
         opt=OptimizationParams(),
         new_keyframe_times_of_use=8,
     )
+    mesh = None
+    if args.mesh:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {args.mesh} devices, have "
+                f"{len(devs)} (for a virtual CPU mesh set "
+                f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={args.mesh})"
+            )
+        mesh = Mesh(np.array(devs[: args.mesh]), ("dp",))
+        print(f"mesh mode: {args.mesh}-device view-parallel training")
+
     loader = DataLoader(args.scene, "replica", cloud_stride=args.cloud_stride)
     mapper = GaussianMapper(
         settings=settings,
@@ -51,6 +73,7 @@ def main():
         result_dir=args.output,
         capacity=args.capacity,
         max_pairs=args.max_pairs,
+        mesh=mesh,
     )
     if args.viewer:
         from gsdf_slam_tpu.viewer import ViewerServer

@@ -75,6 +75,17 @@ class GaussianMapper:
         self.capacity = capacity
         self.max_pairs = max_pairs
         self.ingest_capacity = ingest_capacity
+        # Pre-sizing from config (see MapperSettings): start at the expected
+        # working-set size instead of growing through recompiles.
+        if self.settings.presize_capacity:
+            while self.capacity < self.settings.presize_capacity:
+                self.capacity *= 2
+        if self.settings.presize_max_pairs:
+            grain = 1 << 14
+            self.max_pairs = max(
+                grain,
+                (self.settings.presize_max_pairs + grain - 1) // grain * grain,
+            )
         self.sky_mask = sky_mask  # [H, W] bool, True = sky (blacked out)
         # Live sky-segmentation inference (gaussian_mapper.cpp:57-66,
         # 221-272) through the in-repo ONNX executor; the precomputed
@@ -99,8 +110,12 @@ class GaussianMapper:
         self.kfs_used_times: dict[int, int] = {}
         self._gt_cache: dict[tuple[int, int], jnp.ndarray] = {}
         self._stopped = False
-        self.auto_size_pairs = True
-        self._pairs_high_water = 0
+        self.auto_size_pairs = bool(self.settings.auto_size_pairs_setting)
+        # seed the high-water from the presize so autosizing doesn't
+        # immediately shrink a configured budget back down
+        self._pairs_high_water = (
+            int(self.max_pairs / 1.15) if self.settings.presize_max_pairs else 0
+        )
         # setShDegree/oneUpShDegree (gaussian_model.cpp:103-112). The
         # reference's run() forces the max degree every iteration
         # (gaussian_mapper.cpp:375); None means "max" here too.
@@ -131,6 +146,15 @@ class GaussianMapper:
         from ..utils.observability import PhaseTimer
 
         self.timer = PhaseTimer()
+        # Compile observability: each fresh jit signature costs minutes over
+        # a TPU relay, and they dominated early end-to-end runs (r2's
+        # quality run spent ~18x the steady-state step time on recompiles).
+        # The report surfaces count + wall share so regressions are visible.
+        import time as _time
+
+        self.compile_count = 0
+        self.compile_wall = 0.0
+        self._wall_start = _time.perf_counter()
 
     # ------------------------------------------------------------------ run
     def run(self) -> None:
@@ -382,6 +406,10 @@ class GaussianMapper:
         static_opt, live = self._static_opt_and_live()
         prev_state, prev_adam = self.state, self.adam
         for _attempt in range(3):
+            import time as _time
+
+            _pre_sz = getattr(train_step, "_cache_size", lambda: -1)()
+            _t0 = _time.perf_counter()
             with self.timer.phase("train_step"):
                 self.state, self.adam, metrics = train_step(
                     prev_state,
@@ -402,6 +430,9 @@ class GaussianMapper:
                     ),
                     live=live,
                 )
+            if getattr(train_step, "_cache_size", lambda: -1)() > _pre_sz:
+                self.compile_count += 1
+                self.compile_wall += _time.perf_counter() - _t0
             # One bundled host fetch per step (the loss read below was a
             # sync point anyway). total_pairs > max_pairs means binning
             # DROPPED pairs this step (sentinel overflow design,
@@ -508,6 +539,8 @@ class GaussianMapper:
 
         prev_state, prev_adam = self.state, self.adam
         for _attempt in range(3):
+            import time as _time
+
             cfg = self._raster_cfg(h, w)
             key = (cfg, static_opt, accumulate)
             step = self._sharded_steps.get(key)
@@ -516,6 +549,8 @@ class GaussianMapper:
                     self.mesh, cfg, static_opt, accumulate_stats=accumulate
                 )
                 self._sharded_steps[key] = step
+            _pre_sz = getattr(step, "_cache_size", lambda: -1)()
+            _t0 = _time.perf_counter()
             with self.timer.phase("train_step"):
                 self.state, self.adam, metrics = step(
                     prev_state,
@@ -529,6 +564,9 @@ class GaussianMapper:
                     live,
                     ash,
                 )
+            if getattr(step, "_cache_size", lambda: -1)() > _pre_sz:
+                self.compile_count += 1
+                self.compile_wall += _time.perf_counter() - _t0
             loss, psnr_v, count_v, total_pairs = (
                 np.asarray(x).item()
                 for x in jax.device_get(
@@ -620,9 +658,14 @@ class GaussianMapper:
         if s.training_report_interval and (
             self.iteration % s.training_report_interval == 0
         ):
+            import time as _time
+
+            wall = max(_time.perf_counter() - self._wall_start, 1e-9)
             print(
                 f"[mapper] iter {self.iteration}: ema_loss {self.ema_loss:.5f} "
                 f"points {count_v} pairs {total_pairs} "
+                f"compiles {self.compile_count} "
+                f"({self.compile_wall:.1f}s, {100 * self.compile_wall / wall:.0f}% of wall) "
                 f"[{self.timer.report()}]"
             )
         if (

@@ -66,6 +66,15 @@ class MapperSettings:
     stable_num_iter_existence: int = 0  # 0 = disabled (:275)
     large_rotation_threshold: float = 0.1  # ctor default (gaussian_mapper.cpp:17)
     large_translation_threshold: float = 0.01  # (:18)
+    # Pre-sizing (TPU extension): every fresh array size is a fresh XLA
+    # program (minutes over a relay). Set from dataset statistics to skip
+    # the grow-through-recompiles ramp: Mapper.presize_capacity rounds the
+    # gaussian capacity up at the first ingest, Mapper.presize_max_pairs
+    # seeds the pair budget (autosizing still shrinks/grows from there
+    # unless Mapper.auto_size_pairs=0 pins it).
+    presize_capacity: int = 0  # 0 = off
+    presize_max_pairs: int = 0  # 0 = off
+    auto_size_pairs_setting: int = 1
 
     @staticmethod
     def from_yaml(path: str | Path) -> "MapperSettings":
@@ -133,4 +142,7 @@ class MapperSettings:
             large_translation_threshold=float(
                 g("Mapper.large_translation_threshold", 0.01)
             ),
+            presize_capacity=int(g("Mapper.presize_capacity", 0)),
+            presize_max_pairs=int(g("Mapper.presize_max_pairs", 0)),
+            auto_size_pairs_setting=int(g("Mapper.auto_size_pairs", 1)),
         )

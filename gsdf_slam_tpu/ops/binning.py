@@ -41,8 +41,11 @@ class Binned(NamedTuple):
 
 
 def _tile_opacity_keep(
-    xy: jnp.ndarray,  # [MP, 2] gaussian pixel means
-    conic: jnp.ndarray,  # [MP, 3]
+    mx: jnp.ndarray,  # [MP] gaussian pixel mean x
+    my: jnp.ndarray,  # [MP] gaussian pixel mean y
+    a: jnp.ndarray,  # [MP] conic a
+    b: jnp.ndarray,  # [MP] conic b
+    c: jnp.ndarray,  # [MP] conic c
     opacity: jnp.ndarray,  # [MP]
     tx: jnp.ndarray,  # [MP] tile x
     ty: jnp.ndarray,  # [MP] tile y
@@ -52,15 +55,14 @@ def _tile_opacity_keep(
     Finds (approximately, but conservatively — identical to the reference's
     closed form) the minimum of the conic quadratic over the tile's pixel
     rect [tile*16, tile*16+15] and compares against log(opacity * 255).
+    Takes 1-D per-field arrays (field-major callers slice them for free;
+    column slices of a row-major table are row-loop-bound on TPU).
     """
     patch = float(TILE - 1)
     rect_min_x = (tx * TILE).astype(jnp.float32)
     rect_min_y = (ty * TILE).astype(jnp.float32)
     rect_max_x = rect_min_x + patch
     rect_max_y = rect_min_y + patch
-
-    mx, my = xy[:, 0], xy[:, 1]
-    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
 
     x_min_diff = rect_min_x - mx
     x_left = (x_min_diff > 0.0).astype(jnp.float32)
@@ -145,7 +147,10 @@ def bin_gaussians(pre: Preprocessed, opacities: jnp.ndarray, *, grid_w: int, gri
     ty = as_i(rows[:, 1]) + local // rw
 
     gauss = as_i(rows[:, 3])  # original index
-    keep = _tile_opacity_keep(rows[:, 5:7], rows[:, 7:10], rows[:, 10], tx, ty)
+    keep = _tile_opacity_keep(
+        rows[:, 5], rows[:, 6], rows[:, 7], rows[:, 8], rows[:, 9],
+        rows[:, 10], tx, ty,
+    )
     pair_valid = jnp.logical_and(pair_valid, keep)
 
     tile_id = jnp.where(pair_valid, ty * grid_w + tx, num_tiles).astype(jnp.int32)

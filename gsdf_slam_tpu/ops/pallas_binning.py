@@ -172,13 +172,21 @@ def sort_expand_pack(
     rank = jnp.maximum(jax.lax.cummax(seg) - 1, 0)
 
     rows = table[rank]  # THE one wide gather of the whole pipeline
+    # One transpose to field-major [16, MP]: every later per-field read is
+    # then a contiguous row slice. Column slices of the row-major [MP, 16]
+    # each cost a full row loop (~14 ns/row, docs/PERF.md), and there are
+    # ~12 of them below. The barrier stops XLA from fusing the transpose
+    # back into the consumers (which would re-materialize the row loops).
+    cols = jax.lax.optimization_barrier(rows.T)  # [16, MP]
     slot = jnp.arange(mp, dtype=jnp.int32)
-    local = slot - _as_i(rows[:, TB_START])
-    rw = jnp.maximum(_as_i(rows[:, TB_RW]), 1)
-    tx = _as_i(rows[:, TB_RMX]) + local % rw
-    ty = _as_i(rows[:, TB_RMY]) + local // rw
+    local = slot - _as_i(cols[TB_START])
+    rw = jnp.maximum(_as_i(cols[TB_RW]), 1)
+    tx = _as_i(cols[TB_RMX]) + local % rw
+    ty = _as_i(cols[TB_RMY]) + local // rw
     keep = _tile_opacity_keep(
-        rows[:, TB_MX : TB_MY + 1], rows[:, TB_CA : TB_CC + 1], rows[:, TB_OP], tx, ty
+        cols[TB_MX], cols[TB_MY],
+        cols[TB_CA], cols[TB_CB], cols[TB_CC],
+        cols[TB_OP], tx, ty,
     )
     pair_valid = (slot < total) & keep
     tile_id = jnp.where(pair_valid, ty * grid_w + tx, num_tiles).astype(jnp.int32)
@@ -186,17 +194,17 @@ def sort_expand_pack(
     sorted_ops = jax.lax.sort(
         (
             tile_id,
-            rows[:, TB_DEPTH],
-            rows[:, TB_MX],
-            rows[:, TB_MY],
-            rows[:, TB_CA],
-            rows[:, TB_CB],
-            rows[:, TB_CC],
-            rows[:, TB_OP],
-            rows[:, TB_R],
-            rows[:, TB_G],
-            rows[:, TB_B],
-            _as_i(rows[:, TB_GID]),
+            cols[TB_DEPTH],
+            cols[TB_MX],
+            cols[TB_MY],
+            cols[TB_CA],
+            cols[TB_CB],
+            cols[TB_CC],
+            cols[TB_OP],
+            cols[TB_R],
+            cols[TB_G],
+            cols[TB_B],
+            _as_i(cols[TB_GID]),
         ),
         num_keys=2,
         is_stable=True,

@@ -225,8 +225,21 @@ def preprocess(
     area3 = (rmax3[:, 0] - rmin3[:, 0]) * (rmax3[:, 1] - rmin3[:, 1])
 
     rmin = jnp.clip(((means2d - ext) / TILE).astype(jnp.int32), 0, grid_i)
-    rmax_f = jnp.maximum(0.0, (means2d + ext + TILE - 1) / TILE)
-    rmax = jnp.minimum(rmax_f.astype(jnp.int32), grid_i)
+    # True pixel-coverage bound, NOT the reference's (v + TILE-1)/TILE
+    # idiom: that truncation under-covers by one tile whenever
+    # (mean + extent) mod TILE < 1 (the last covered pixel row is the
+    # first row of the next tile). The reference has the same quirk on its
+    # 3-sigma radius — but with the TIGHT extent the quirk would fire at
+    # different boundaries than the reference's, dropping pixels the
+    # reference blends (caught by the f64 forward golden). Computing the
+    # correct inclusive bound here and clamping into the reference's
+    # quirky 3-sigma rect (rmax3 min below) preserves exact reference
+    # semantics: never more than the reference's rect, never fewer than
+    # the ellipse's true tile coverage.
+    rmax_f = jnp.maximum(0.0, jnp.floor(means2d + ext) / TILE + 1.0)
+    rmax = jnp.minimum(
+        jnp.minimum(rmax_f.astype(jnp.int32), rmax3), grid_i
+    )
     # op exactly 1/255 keeps its mean tile (peak alpha passes the >= test in
     # both the reference cull and the blend's ALPHA_MIN gate); only strictly
     # smaller opacities can never contribute anywhere.

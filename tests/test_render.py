@@ -172,3 +172,38 @@ def test_traced_sh_degree_ramp():
     full = render(*scene, cfg3, active_sh_degree=jnp.int32(3))
     plain = render(*scene, cfg3)
     np.testing.assert_allclose(full.image, plain.image, atol=1e-6)
+
+
+def test_forward_matches_f64_golden():
+    """Committed double-precision golden: a from-scratch float64 NumPy
+    transcription of the reference's forward equations (forward.cu:104-149
+    cov2D, :154-193 cov3D, :198-312 preprocess, :403-453 blend rules;
+    generator: tests/fixtures/make_forward_golden.py). The production f32
+    renderer must match within float tolerance — since the golden derives
+    from the reference's equations, the two cannot drift together."""
+    from pathlib import Path
+
+    import jax.numpy as jnp
+
+    from gsdf_slam_tpu.ops import CameraMatrices, RasterizeConfig, render
+
+    g = np.load(Path(__file__).parent / "fixtures" / "forward_golden.npz")
+    cam = CameraMatrices(
+        view=jnp.asarray(g["view"]),
+        full_proj=jnp.asarray(g["full_proj"]),
+        campos=jnp.asarray(g["campos"]),
+        tanfovx=jnp.float32(g["tanfovx"]),
+        tanfovy=jnp.float32(g["tanfovy"]),
+    )
+    cfg = RasterizeConfig(height=64, width=64, max_pairs=4096, chunk=256)
+    out = render(
+        g["xyz"], g["scales"], g["quats"], g["opac"], g["dc"], g["sh_rest"],
+        np.ones(len(g["xyz"]), bool), cam, jnp.asarray(g["bg"]), cfg,
+    )
+    got = np.asarray(out.image, np.float64)
+    want = g["image"]
+    # f32 accumulation over ~48 splats vs f64: expect ~1e-5 agreement
+    np.testing.assert_allclose(got, want, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.final_t, np.float64), g["final_t"], atol=3e-5
+    )

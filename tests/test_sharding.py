@@ -117,3 +117,122 @@ def test_mapper_mesh_mode_trains_and_densifies():
     # densify fired at iters 3 and 6 with a ~zero grad threshold -> growth
     assert int(m.state.count) > n0
     assert np.isfinite(np.asarray(m.state.xyz)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_sharded_trajectory_equivalence():
+    """Multi-STEP equivalence: >= 20 view-parallel iterations through a
+    densify surgery AND a capacity growth must (a) keep the replicated
+    state bit-identical on every device, (b) track a single-device replay
+    that averages the 8 per-view gradients (pmean semantics), sums the
+    densification stats (psum), and applies the identical surgeries."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gsdf_slam_tpu.models import add_densification_stats, densify_and_prune
+    from gsdf_slam_tpu.models.gaussian_model import with_capacity
+
+    rng = np.random.default_rng(1)
+    n, cap = 48, 64
+    pts = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    pts[:, 2] += 3.0
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    state = create_from_pcd(jnp.asarray(pts), jnp.asarray(cols), jnp.ones(n, bool), cap)
+    adam = AdamState.init(state.params())
+
+    cfg = RasterizeConfig(height=32, width=32, max_pairs=1024, chunk=128)
+    opt = OptimizationParams()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    step, _ = make_sharded_train_step(mesh, cfg, opt)
+    bs = NamedSharding(mesh, P("dp"))
+
+    st_r = replicate_to_mesh(mesh, state)
+    ad_r = replicate_to_mesh(mesh, adam)
+    st_s, ad_s = state, adam  # single-device replay
+    bg = jnp.zeros(3)
+
+    def replay_step(st, ad, cams, gts, iteration):
+        def loss_fn(params, m2d, cam, gt):
+            out = render_state(
+                st.with_params(params), cam, bg, cfg, means2d_offset=m2d
+            )
+            return mapper_loss(out.image, gt, None, opt.lambda_dssim), out
+
+        m2d0 = jnp.zeros((st.capacity, 2), jnp.float32)
+        gs, outs = [], []
+        for i in range(8):
+            (_, out), g = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                st.params(), m2d0, cams[i], gts[i]
+            )
+            gs.append(g)
+            outs.append(out)
+        mean_g = jax.tree.map(lambda *x: sum(x) / 8.0, *(g[0] for g in gs))
+        # summed stats / maxed radii (psum/pmax semantics)
+        norm_sum = jnp.zeros(st.capacity)
+        denom_sum = jnp.zeros(st.capacity)
+        radii_max = jnp.zeros(st.capacity, jnp.int32)
+        for g, out in zip(gs, outs):
+            visible = out.radii > 0
+            g2 = g[1] * jnp.array([0.5 * 32, 0.5 * 32], jnp.float32)
+            norm_sum += jnp.where(visible, jnp.linalg.norm(g2, axis=-1), 0.0)
+            denom_sum += visible.astype(jnp.float32)
+            radii_max = jnp.maximum(radii_max, out.radii)
+        st = st.replace(
+            xyz_grad_accum=st.xyz_grad_accum + norm_sum,
+            denom=st.denom + denom_sum,
+            max_radii2d=jnp.maximum(st.max_radii2d, radii_max.astype(jnp.float32)),
+        )
+        lrs = group_lrs(opt, 1.0, jnp.int32(iteration))
+        new_p, ad = adam_step(st.params(), mean_g, ad, lrs)
+        return st.with_params(new_p), ad
+
+    def assert_replicas_identical(arr):
+        shards = [np.asarray(s.data) for s in arr.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+    for it in range(1, 23):
+        cams = [
+            CameraMatrices.from_pose(
+                np.array([1.0, 0, 0, 0]), rng.normal(0, 0.05, 3),
+                np.pi / 2, np.pi / 2,
+            )
+            for _ in range(8)
+        ]
+        gts = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32))
+        cams_b = jax.device_put(batch_cameras(cams), bs)
+        gts_b = jax.device_put(gts, bs)
+        st_r, ad_r, _ = step(
+            st_r, ad_r, cams_b, gts_b, None, bg, jnp.int32(it), jnp.float32(1.0)
+        )
+        st_s, ad_s = replay_step(st_s, ad_s, cams, gts, it)
+
+        if it == 8:  # densify surgery on the replicated state (same key)
+            key = jax.random.PRNGKey(42)
+            kwargs = dict(max_grad=1e-9, min_opacity=0.005, extent=5.0,
+                          max_screen_size=0)
+            st_r, ad_r, _ = densify_and_prune(st_r, ad_r, key, **kwargs)
+            n_after = int(st_r.count)
+            st_s, ad_s, _ = densify_and_prune(st_s, ad_s, key, **kwargs)
+            assert n_after > n and int(st_s.count) == n_after
+        if it == 12:  # capacity growth mid-trajectory
+            st_r, ad_r = with_capacity(st_r, ad_r, cap * 2)
+            st_r = replicate_to_mesh(mesh, st_r)
+            ad_r = replicate_to_mesh(mesh, ad_r)
+            st_s, ad_s = with_capacity(st_s, ad_s, cap * 2)
+
+        if it % 5 == 0 or it == 22:
+            assert_replicas_identical(st_r.xyz)
+            assert_replicas_identical(st_r.opacity)
+            c = int(st_r.count)
+            assert c == int(st_s.count)
+            np.testing.assert_allclose(
+                np.asarray(st_r.xyz)[:c], np.asarray(st_s.xyz)[:c], atol=5e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(st_r.opacity)[:c], np.asarray(st_s.opacity)[:c],
+                atol=5e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(st_r.scaling)[:c], np.asarray(st_s.scaling)[:c],
+                atol=5e-6,
+            )
