@@ -44,9 +44,13 @@ def run_stream(n_frames: int, width: int, height: int, presize: bool = True):
         ),
         new_keyframe_times_of_use=3,
         do_inactive_geo_densify=False,
+        # 47*16k covers the early-stream pair peak (~640k: fresh splats are
+        # large until their scales optimize down); autosizing stays ON so a
+        # rare overshoot grows instead of dropping splats — exactly the
+        # production mapper behavior, and the compile counter records what
+        # that behavior costs.
         presize_capacity=(1 << 18) if presize else 0,
-        presize_max_pairs=(360 * 1024) if presize else 0,
-        auto_size_pairs_setting=0 if presize else 1,
+        presize_max_pairs=(47 * 16384) if presize else 0,
     )
     mapper = GaussianMapper(settings=settings, ingest_capacity=1 << 16)
     fov = np.pi / 2

@@ -32,6 +32,11 @@ def _enable_compilation_cache() -> None:
 
     if os.environ.get("GSDF_COMPILATION_CACHE", "1") == "0":
         return
+    # CPU runs: compiles are already fast, and XLA:CPU AOT cache entries are
+    # machine-feature-pinned (cross-feature loads warn about possible
+    # SIGILL) — the cache is a TPU-relay amortization, keep it there.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     path = os.environ.get("GSDF_COMPILATION_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "gsdf_slam_tpu", "xla_cache"
     )

@@ -168,6 +168,13 @@ def test_viewer_endpoints():
         ) as r:
             assert r.headers["Content-Type"] == "image/jpeg"
             assert len(r.read()) > 100
+        # scene overlays: frusta (5 world points each), trajectory, points
+        with urllib.request.urlopen("http://127.0.0.1:18099/scene", timeout=30) as r:
+            sc = json.loads(r.read())
+        assert len(sc["frusta"]) == 1 and len(sc["frusta"][0]) == 5
+        assert len(sc["trajectory"]) == 1
+        assert len(sc["points"]) > 0 and len(sc["points"][0]) == 3
+        assert sc["fx"] > 0 and sc["fy"] > 0
     finally:
         srv.stop()
 
