@@ -49,7 +49,11 @@ def run_stream(n_frames: int, width: int, height: int, presize: bool = True):
         # rare overshoot grows instead of dropping splats — exactly the
         # production mapper behavior, and the compile counter records what
         # that behavior costs.
-        presize_capacity=(1 << 18) if presize else 0,
+        # capacity presized to the stream's FINAL count (~600k after 60
+        # frames of dedup'd 51k-point clouds): a mid-run capacity doubling
+        # recompiles every per-gaussian program at the new shape — minutes
+        # over a TPU relay, exactly the cascade this knob exists to avoid
+        presize_capacity=(1 << 20) if presize else 0,
         presize_max_pairs=(47 * 16384) if presize else 0,
     )
     mapper = GaussianMapper(settings=settings, ingest_capacity=1 << 16)

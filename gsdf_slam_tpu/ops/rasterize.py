@@ -46,6 +46,18 @@ class RasterizeConfig:
     pallas_chunk: int = 128  # lanes; must be a multiple of 128
     pallas_group: int = 8  # tiles per aligned group (1 = per-tile kernels)
 
+    def __post_init__(self):
+        if self.max_pairs % self.chunk != 0:
+            raise ValueError(
+                f"max_pairs ({self.max_pairs}) must be divisible by chunk "
+                f"({self.chunk})"
+            )
+        if self.pallas_chunk % 128 != 0:
+            raise ValueError(
+                f"pallas_chunk ({self.pallas_chunk}) must be a multiple of "
+                "128 lanes"
+            )
+
     @property
     def grid(self) -> tuple[int, int]:
         return tile_grid(self.width, self.height)
