@@ -122,6 +122,10 @@ def main():
     ap.add_argument("--res", default="640x360")
     ap.add_argument("--iterations", type=int, default=4000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--capacity", type=int, default=1 << 19,
+                    help="gaussian capacity presize (a mid-run doubling "
+                    "recompiles every per-gaussian program — minutes over "
+                    "a TPU relay; r2 finished at 480k gaussians)")
     ap.add_argument("--easy", action="store_true",
                     help="round-2 scene (no occluders/specular/fine texture)")
     ap.add_argument("--mesh", type=int, default=0,
@@ -137,7 +141,7 @@ def main():
 
         mesh = Mesh(np.array(jax.devices()[: args.mesh]), ("dp",))
     res = run_quality(args.frames, w, h, args.iterations,
-                      hard=not args.easy, mesh=mesh)
+                      capacity=args.capacity, hard=not args.easy, mesh=mesh)
     if args.mesh:
         res["mesh_devices"] = args.mesh
     res["platform"] = jax.default_backend()
