@@ -32,6 +32,12 @@ CHUNK = 1024
 # kernel-shape sweep knobs (defaults = production config)
 PALLAS_CHUNK = int(os.environ.get("GSDF_BENCH_PALLAS_CHUNK", 128))
 PALLAS_GROUP = int(os.environ.get("GSDF_BENCH_PALLAS_GROUP", 8))
+# cross-step binning persistence cadence (engine/settings.py
+# rebin_interval): 1 fresh bin + N-1 cached re-renders per keyframe visit
+# block — the mapper's production default. 1 = re-bin every step
+# (reference semantics, rasterizer_impl.cu:456-500); quality delta of the
+# cadence is measured in QUALITY_REBIN.json.
+REBIN_INTERVAL = int(os.environ.get("GSDF_BENCH_REBIN", 0)) or None
 WARMUP = 3
 ITERS = 20
 
@@ -77,9 +83,14 @@ def main():
     gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
     bg = jnp.zeros(3)
 
-    def one(s, a, it):
+    from gsdf_slam_tpu.engine.settings import MapperSettings
+
+    rebin = REBIN_INTERVAL or MapperSettings().rebin_interval
+
+    def one(s, a, it, cache=None, export=False):
         return train_step(
-            s, a, cam, gt, None, bg, jnp.int32(it), jnp.float32(1.0), cfg, opt
+            s, a, cam, gt, None, bg, jnp.int32(it), jnp.float32(1.0), cfg, opt,
+            binning_cache=cache, export_binning_cache=export,
         )
 
     # warmup/compile — states CHAIN so every step truly executes (the
@@ -87,22 +98,43 @@ def main():
     s, a = state, adam
     for i in range(WARMUP):
         s, a, m = one(s, a, i + 1)
+    cache = None
+    if rebin > 1:
+        s, a, m, cache = one(s, a, WARMUP + 1, export=True)
+        s, a, m = one(s, a, WARMUP + 2, cache=cache)
     jax.block_until_ready((s.xyz, a.m["xyz"]))
     pairs = int(m.total_pairs)
 
+    # reference-semantics rate: fresh binning every step
     t0 = time.perf_counter()
     for i in range(ITERS):
         s, a, m = one(s, a, i + 10)
     jax.block_until_ready((s.xyz, a.m["xyz"]))
     float(m.loss)  # hard barrier: block_until_ready is flaky over the relay
-    dt = time.perf_counter() - t0
-    ips = ITERS / dt
+    ips_fresh = ITERS / (time.perf_counter() - t0)
+
+    ips = ips_fresh
+    if rebin > 1:
+        # production cadence: 1 binning-exporting step + rebin-1 cached
+        # re-renders per block (engine/mapper.py cross-step persistence;
+        # same-keyframe re-train regime, times_of_use > 1)
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            if i % rebin == 0:
+                s, a, m, cache = one(s, a, i + 40, export=True)
+            else:
+                s, a, m = one(s, a, i + 40, cache=cache)
+        jax.block_until_ready((s.xyz, a.m["xyz"]))
+        float(m.loss)
+        ips = ITERS / (time.perf_counter() - t0)
 
     detail = {
         "resolution": f"{WIDTH}x{HEIGHT}",
         "gaussians": N_GAUSSIANS,
         "pairs": pairs,
         "platform": jax.devices()[0].platform,
+        "rebin_interval": rebin,
+        "iters_per_sec_fresh_binning": round(ips_fresh, 3),
     }
     # attach the latest committed quality artifact (benchmarks/quality.py)
     qpath = Path(__file__).parent / "QUALITY.json"

@@ -68,7 +68,9 @@ class GaussianMapper:
         seed: int = 0,
         sky_mask: np.ndarray | None = None,
         mesh=None,
+        backend: str = "auto",  # RasterizeConfig.backend ("xla"/"pallas")
     ):
+        self.backend = backend
         self.settings = settings or MapperSettings()
         self.dataloader = dataloader
         self.result_dir = Path(result_dir) if result_dir else None
@@ -116,6 +118,11 @@ class GaussianMapper:
         self._pairs_high_water = (
             int(self.max_pairs / 1.15) if self.settings.presize_max_pairs else 0
         )
+        # cross-step binning persistence: (fid, level) -> entry dict (see
+        # _single_step_phase). Entries freeze a pair permutation; any
+        # live-set / capacity / pose change invalidates (staleness is then
+        # bounded to sub-pixel optimizer drift within rebin_interval uses).
+        self._bin_cache: dict = {}
         # setShDegree/oneUpShDegree (gaussian_model.cpp:103-112). The
         # reference's run() forces the max degree every iteration
         # (gaussian_mapper.cpp:375); None means "max" here too.
@@ -279,6 +286,7 @@ class GaussianMapper:
             self.state, self.adam, aux = increase_pcd(
                 self.state, self.adam, pts, cols, valid, jnp.int32(self.iteration)
             )
+        self._invalidate_binning_caches()
         return kf
 
     def _pad_cloud(self, points: np.ndarray, colors: np.ndarray):
@@ -296,6 +304,18 @@ class GaussianMapper:
             new_cap = self.state.capacity * 2
             self.state, self.adam = with_capacity(self.state, self.adam, new_cap)
             self.capacity = new_cap
+            self._invalidate_binning_caches()
+
+    def _invalidate_binning_caches(self, fid: int | None = None) -> None:
+        """Drop frozen pair permutations. Called on every live-set mutation
+        (densify/prune/ingest/opacity-reset/capacity/loads) or, with `fid`,
+        on a single keyframe's pose update — staleness inside a surviving
+        cache is then only per-step optimizer drift."""
+        if fid is None:
+            self._bin_cache.clear()
+        else:
+            for k in [k for k in self._bin_cache if k[0] == fid]:
+                del self._bin_cache[k]
 
     # ------------------------------------------------------------- sampling
     def _use_one_random_sliding_window_keyframe(self) -> Keyframe | None:
@@ -327,7 +347,7 @@ class GaussianMapper:
     def _raster_cfg(self, h: int, w: int) -> RasterizeConfig:
         return RasterizeConfig(
             height=h, width=w, sh_degree=self.settings.model.sh_degree,
-            max_pairs=self.max_pairs,
+            max_pairs=self.max_pairs, backend=self.backend,
         )
 
     def _autosize_pairs(self, observed_total: int) -> None:
@@ -405,13 +425,32 @@ class GaussianMapper:
         accumulate = self.iteration < s.opt.densify_until_iter
         static_opt, live = self._static_opt_and_live()
         prev_state, prev_adam = self.state, self.adam
+        rk = (kf.fid, level)
         for _attempt in range(3):
             import time as _time
+
+            # Cross-step binning persistence: reuse this (keyframe, level)'s
+            # frozen pair permutation for up to rebin_interval-1 re-renders;
+            # rebuild (and snapshot) otherwise. Pallas-path-only; rebuilt
+            # whenever capacity/pair-budget/resolution changed underneath.
+            use_cache, export_cache = None, False
+            if s.rebin_interval > 1 and cfg.use_pallas() and cfg.pallas_group > 1:
+                ent = self._bin_cache.get(rk)
+                if (
+                    ent is not None
+                    and ent["uses"] < s.rebin_interval - 1
+                    and ent["capacity"] == self.state.capacity
+                    and ent["max_pairs"] == cfg.max_pairs
+                    and ent["hw"] == (h, w)
+                ):
+                    use_cache = ent["cache"]
+                else:
+                    export_cache = True
 
             _pre_sz = getattr(train_step, "_cache_size", lambda: -1)()
             _t0 = _time.perf_counter()
             with self.timer.phase("train_step"):
-                self.state, self.adam, metrics = train_step(
+                res = train_step(
                     prev_state,
                     prev_adam,
                     kf.camera_matrices(s.z_near, s.z_far),
@@ -429,7 +468,13 @@ class GaussianMapper:
                         else jnp.int32(self.active_sh_degree)
                     ),
                     live=live,
+                    binning_cache=use_cache,
+                    export_binning_cache=export_cache,
                 )
+            if export_cache:
+                self.state, self.adam, metrics, built_cache = res
+            else:
+                self.state, self.adam, metrics = res
             if getattr(train_step, "_cache_size", lambda: -1)() > _pre_sz:
                 self.compile_count += 1
                 self.compile_wall += _time.perf_counter() - _t0
@@ -448,6 +493,18 @@ class GaussianMapper:
             )
             self._autosize_pairs(total_pairs)
             if total_pairs <= cfg.max_pairs:
+                if export_cache:
+                    self._bin_cache[rk] = {
+                        "cache": built_cache,
+                        "uses": 0,
+                        "capacity": self.state.capacity,
+                        "max_pairs": cfg.max_pairs,
+                        "hw": (h, w),
+                    }
+                    while len(self._bin_cache) > 32:  # bound HBM held by caches
+                        self._bin_cache.pop(next(iter(self._bin_cache)))
+                elif use_cache is not None:
+                    self._bin_cache[rk]["uses"] += 1
                 break
             if self.max_pairs <= cfg.max_pairs:
                 # capacity cannot grow (autosizing disabled or already at
@@ -643,6 +700,7 @@ class GaussianMapper:
                         )
                 self.state, self.adam = new_state, new_adam
                 self.capacity = self.state.capacity
+                self._invalidate_binning_caches()
             # resetOpacity cadence (gaussian_mapper.cpp:460): also fires for
             # white-background runs exactly when iteration == densify_from.
             if (
@@ -653,6 +711,7 @@ class GaussianMapper:
                 and self.iteration == s.opt.densify_from_iter
             ):
                 self.state, self.adam = reset_opacity(self.state, self.adam)
+                self._invalidate_binning_caches()
 
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
         if s.training_report_interval and (
@@ -866,6 +925,7 @@ class GaussianMapper:
             self.state, self.adam, _ = increase_pcd(
                 self.state, self.adam, pts, cols, valid, jnp.int32(self.iteration)
             )
+        self._invalidate_binning_caches()
 
     # ------------------------------------------------ tracker pose updates
     def update_keyframe_pose(self, fid: int, t_wc: np.ndarray) -> None:
@@ -893,6 +953,7 @@ class GaussianMapper:
         )
         kf.t_cw = new_tcw
         kf._cam_matrices = None  # gt images are pose-independent; keep cache
+        self._invalidate_binning_caches(fid)
         s = self.settings
         if (
             ang_deg > s.large_rotation_threshold
@@ -910,6 +971,7 @@ class GaussianMapper:
                 jnp.int32(self.iteration),
                 jnp.int32(s.stable_num_iter_existence),
             )
+            self._invalidate_binning_caches()
 
     def _intr_from_image(self, image: np.ndarray):
         from ..data import CameraIntrinsics
@@ -1030,6 +1092,7 @@ class GaussianMapper:
             self.max_pairs = int(z["max_pairs"])
             self._pairs_high_water = int(z["pairs_high_water"])
         self.initial_mapped = True
+        self._invalidate_binning_caches()
 
     def set_sh_degree(self, degree: int | None) -> None:
         """setShDegree (gaussian_model.cpp:109-112); None = max degree."""
@@ -1168,3 +1231,4 @@ class GaussianMapper:
         self.adam = AdamState.init(self.state.params())
         self.capacity = cap
         self.initial_mapped = True
+        self._invalidate_binning_caches()

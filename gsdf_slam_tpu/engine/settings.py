@@ -75,6 +75,14 @@ class MapperSettings:
     presize_capacity: int = 0  # 0 = off
     presize_max_pairs: int = 0  # 0 = off
     auto_size_pairs_setting: int = 1
+    # Cross-step binning persistence (TPU extension, docs/PERF.md): each
+    # (keyframe, pyramid-level)'s pair permutation is reused for up to
+    # rebin_interval-1 re-renders before a fresh bin. 1 = reference
+    # semantics (re-bin every iteration, rasterizer_impl.cu:456-500).
+    # Caches are invalidated on any densify/prune/capacity/pose change, so
+    # staleness is bounded to sub-pixel parameter drift; quality impact is
+    # measured in benchmarks/quality.py --rebin (see QUALITY.md).
+    rebin_interval: int = 1
 
     @staticmethod
     def from_yaml(path: str | Path) -> "MapperSettings":
@@ -145,4 +153,5 @@ class MapperSettings:
             presize_capacity=int(g("Mapper.presize_capacity", 0)),
             presize_max_pairs=int(g("Mapper.presize_max_pairs", 0)),
             auto_size_pairs_setting=int(g("Mapper.auto_size_pairs", 1)),
+            rebin_interval=int(g("Mapper.rebin_interval", 1)),
         )

@@ -67,6 +67,8 @@ def render_state(
     cfg: RasterizeConfig,
     means2d_offset: jnp.ndarray | None = None,
     active_sh_degree: jnp.ndarray | None = None,
+    binning_cache=None,
+    export_binning_cache: bool = False,
 ) -> RenderOutput:
     """GaussianRenderer::render (gaussian_renderer.cpp:23-141): activations +
     rasterizer call. separate_sh dc/rest path is the only one implemented —
@@ -84,6 +86,8 @@ def render_state(
         cfg,
         means2d_offset=means2d_offset,
         active_sh_degree=active_sh_degree,
+        binning_cache=binning_cache,
+        export_binning_cache=export_binning_cache,
     )
 
 
@@ -126,7 +130,8 @@ def render_depth_state(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "opt", "accumulate_stats")
+    jax.jit,
+    static_argnames=("cfg", "opt", "accumulate_stats", "export_binning_cache"),
 )
 def train_step(
     state: GaussianState,
@@ -143,12 +148,19 @@ def train_step(
     lr_overrides: dict[str, Any] | None = None,
     active_sh_degree: jnp.ndarray | None = None,
     live: LiveOptValues | None = None,
-) -> tuple[GaussianState, AdamState, StepMetrics]:
+    binning_cache=None,
+    export_binning_cache: bool = False,
+):
     """One optimization iteration (trainForOneIteration :335-468).
 
     `iteration`, `spatial_lr_scale` and the `live` hyperparameter bundle are
     traced so neither the lr schedule nor viewer slider edits recompile;
     densify/opacity-reset cadence is host-side.
+
+    Returns (state, adam, metrics); with `export_binning_cache=True` a
+    fourth element — the BinningCache of this step's fresh binning — is
+    appended, for reuse via `binning_cache=` on later steps of the same
+    view (docs/PERF.md cross-step binning persistence).
     """
     lambda_dssim = opt.lambda_dssim if live is None else live.lambda_dssim
 
@@ -157,6 +169,8 @@ def train_step(
         out = render_state(
             st, cam, bg, cfg, means2d_offset=m2d_offset,
             active_sh_degree=active_sh_degree,
+            binning_cache=binning_cache,
+            export_binning_cache=export_binning_cache,
         )
         loss = mapper_loss(out.image, gt_image, mask, lambda_dssim)
         return loss, out
@@ -184,4 +198,6 @@ def train_step(
         count=state.count,
         total_pairs=out.total_pairs,
     )
+    if export_binning_cache:
+        return state, adam, metrics, out.binning_cache
     return state, adam, metrics

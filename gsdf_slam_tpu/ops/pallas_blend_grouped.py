@@ -27,6 +27,7 @@ the parity tests); blend order within a tile is unchanged.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -354,10 +355,160 @@ def _run_bwd(ranges, pairs, traw, ct_accum, ct_teff, mpa, ng, grid_w, chunk, gro
     return grads
 
 
+# ----------------------------------------------------------- binning cache
+class BinningCache(NamedTuple):
+    """Frozen binning permutation for cross-step reuse.
+
+    TPU-first design point with no reference counterpart: the reference
+    re-bins every iteration (rasterizer_impl.cu:456-500) because CUDA
+    binning is cheap next to its kernels; on TPU the expand/sort/realign
+    machinery is ~40% of the train step (docs/PERF.md), while between
+    consecutive re-renders of the same keyframe the pair MEMBERSHIP barely
+    moves (sub-pixel mean drift, <1% scale drift per optimizer step). A
+    cache freezes the pair->gaussian map and group layout; every cached
+    step still gathers FRESH per-gaussian payload (means/conics/opacity/
+    colors), so values are exact — only which-splat-hits-which-tile and
+    the within-tile depth order are stale, bounded by the mapper's
+    `rebin_interval` (engine/mapper.py). Quality impact is measured in
+    benchmarks/quality.py --rebin.
+    """
+
+    ranges: jnp.ndarray  # [2, ng] int32: chunk-aligned group starts; counts
+    gid: jnp.ndarray  # [MPA] int32 pair -> gaussian row, clipped to [0, P]
+    slot: jnp.ndarray  # [MPA] f32 tile-within-group of each pair
+    total_pairs: jnp.ndarray  # [] int32 pair count at build time
+
+
+@functools.lru_cache(maxsize=32)
+def _make_cached_blend(
+    grid_w: int, grid_h: int, chunk: int, group: int, mpa: int, p: int
+):
+    """Blend through a frozen BinningCache: ONE wide payload gather replaces
+    the whole expand/cull/sort/realign pipeline. Gradients fold back to
+    gaussian space by the cached gid — the same scatter-add the fresh path
+    uses (backward.cu:546+ atomicAdd analog)."""
+    num_tiles = grid_w * grid_h
+    ng = (num_tiles + group - 1) // group
+
+    def _to_tiles(accum, teff):
+        acc = accum.transpose(0, 2, 1, 3).reshape(ng * group, PIX_PER_TILE, 3)
+        te = teff.transpose(0, 2, 1).reshape(ng * group, PIX_PER_TILE)
+        return acc[:num_tiles], te[:num_tiles]
+
+    def _pack(gid, slot_f, valid, means2d, conics, opacities, colors):
+        # Sanitize rows of gaussians not valid THIS step (frustum-culled or
+        # opacity-decayed since the cache was built): their fresh payload can
+        # be non-finite (behind-camera projection), and even a masked lane
+        # turns NaN in the backward products. Zero opacity makes them blend
+        # as nothing and gradient-free, exactly like the fresh path (where
+        # they would have produced no pairs at all).
+        ok = valid[:, None]
+        tab = jnp.concatenate(
+            [
+                jnp.where(ok, means2d, 0.0),
+                jnp.where(ok, conics, jnp.array([1.0, 0.0, 1.0])),
+                jnp.where(valid, opacities, 0.0)[:, None],
+                jnp.where(ok, colors, 0.0),
+            ],
+            axis=1,
+        )  # [P, 9]
+        tab = jnp.concatenate([tab, jnp.zeros((1, 9), jnp.float32)], axis=0)
+        rows = tab[gid]  # [MPA, 9]: THE cached-step gather
+        cols = jax.lax.optimization_barrier(rows.T)  # field-major [9, MPA]
+        return jnp.concatenate(
+            [cols, slot_f[None, :], jnp.zeros((PACK - 10, mpa), jnp.float32)],
+            axis=0,
+        )
+
+    def _pipeline(ranges, gid, slot_f, valid, means2d, conics, opacities, colors):
+        pairs = _pack(gid, slot_f, valid, means2d, conics, opacities, colors)
+        accum, teff, traw, ndone = _run_fwd(ranges, pairs, ng, grid_w, chunk, group)
+        return pairs, accum, teff, traw, ndone
+
+    @jax.custom_vjp
+    def blend(ranges, gid, slot_f, total, valid, means2d, conics, opacities, colors):
+        _, accum, teff, _, _ = _pipeline(
+            ranges, gid, slot_f, valid, means2d, conics, opacities, colors
+        )
+        acc, te = _to_tiles(accum, teff)
+        return acc, te, total
+
+    def fwd(ranges, gid, slot_f, total, valid, means2d, conics, opacities, colors):
+        pairs, accum, teff, traw, ndone = _pipeline(
+            ranges, gid, slot_f, valid, means2d, conics, opacities, colors
+        )
+        acc, te = _to_tiles(accum, teff)
+        ranges3 = jnp.concatenate([ranges, ndone[:, 0, 0][None, :]], axis=0)
+        return (acc, te, total), (ranges3, pairs, traw, gid, valid)
+
+    def bwd(res, cts):
+        ranges3, pairs, traw, gid, valid = res
+        ct_accum_t, ct_teff_t, _ = cts
+        pad = ng * group - num_tiles
+        ct_acc = jnp.pad(ct_accum_t, ((0, pad), (0, 0), (0, 0)))
+        ct_acc = ct_acc.reshape(ng, group, PIX_PER_TILE, 3).transpose(0, 2, 1, 3)
+        ct_te = jnp.pad(ct_teff_t, ((0, pad), (0, 0)))
+        ct_te = ct_te.reshape(ng, group, PIX_PER_TILE).transpose(0, 2, 1)
+        pair_grads = _run_bwd(
+            ranges3, pairs, traw, ct_acc, ct_te, mpa, ng, grid_w, chunk, group
+        )
+        acc = jnp.zeros((p + 1, PACK), jnp.float32).at[gid].add(pair_grads.T)[:p]
+        # invalid-this-step rows got zero pair grads by construction; the
+        # mask mirrors the fwd sanitization `where` VJP exactly.
+        okm = valid[:, None]
+        zi = np.zeros(gid.shape, dtype=jax.dtypes.float0)
+        zb = np.zeros(valid.shape, dtype=jax.dtypes.float0)
+        zt = np.zeros((), dtype=jax.dtypes.float0)
+        return (
+            jnp.zeros((2, ng), jnp.float32),
+            zi,
+            jnp.zeros((mpa,), jnp.float32),
+            zt,
+            zb,
+            jnp.where(okm, acc[:, 0:2], 0.0),
+            jnp.where(okm, acc[:, 2:5], 0.0),
+            jnp.where(valid, acc[:, 5], 0.0),
+            jnp.where(okm, acc[:, 6:9], 0.0),
+        )
+
+    blend.defvjp(fwd, bwd)
+    return blend
+
+
+def blend_tiles_grouped_cached(
+    pre,  # Preprocessed (fresh payload; rects unused)
+    opacities: jnp.ndarray,
+    cache: BinningCache,
+    *,
+    grid_w: int,
+    grid_h: int,
+    chunk: int = 128,
+    group: int = 8,
+):
+    """Cached production path: identical outputs to the fresh path up to the
+    cache's staleness (pair membership + depth order frozen at build)."""
+    assert chunk % 128 == 0
+    p = pre.means2d.shape[0]
+    fn = _make_cached_blend(grid_w, grid_h, chunk, group, int(cache.gid.shape[0]), p)
+    valid = pre.tiles_touched > 0
+    return fn(
+        cache.ranges,
+        cache.gid,
+        cache.slot,
+        cache.total_pairs,
+        jax.lax.stop_gradient(valid),
+        pre.means2d,
+        pre.conics,
+        opacities,
+        pre.colors,
+    )
+
+
 # ------------------------------------------------------------------ wrapper
 @functools.lru_cache(maxsize=32)
 def _make_fused_blend(
-    grid_w: int, grid_h: int, chunk: int, group: int, max_pairs: int
+    grid_w: int, grid_h: int, chunk: int, group: int, max_pairs: int,
+    export: bool = False,
 ):
     """Fused grouped blend: binning + sort + realign + kernels + fold.
 
@@ -366,7 +517,10 @@ def _make_fused_blend(
     through the sort/realign permutation — it folds the kernel's per-pair
     gradients straight back to Gaussian space by the pair's gid (carried
     through sort and realign as bitcast bits), exactly like the reference's
-    atomicAdd into per-Gaussian buffers (backward.cu:546+)."""
+    atomicAdd into per-Gaussian buffers (backward.cu:546+).
+
+    With ``export`` the blend additionally returns a BinningCache snapshot
+    of the permutation it just built, for cross-step reuse."""
     from .pallas_binning import sort_expand_pack
 
     num_tiles = grid_w * grid_h
@@ -387,12 +541,21 @@ def _make_fused_blend(
         accum, teff, traw, ndone = _run_fwd(sp.ranges, sp.pairs, ng, grid_w, chunk, group)
         return sp, accum, teff, traw, ndone
 
+    def _cache_of(sp, p):
+        gid = jnp.clip(jax.lax.bitcast_convert_type(sp.pairs[10], jnp.int32), 0, p)
+        return BinningCache(
+            ranges=sp.ranges, gid=gid, slot=sp.pairs[F_SLOT],
+            total_pairs=sp.total_pairs,
+        )
+
     @jax.custom_vjp
     def blend(depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors):
         sp, accum, teff, _, _ = _pipeline(
             depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors
         )
         acc, te = _to_tiles(accum, teff)
+        if export:
+            return acc, te, sp.total_pairs, _cache_of(sp, depths.shape[0])
         return acc, te, sp.total_pairs
 
     def fwd(depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors):
@@ -402,13 +565,14 @@ def _make_fused_blend(
         acc, te = _to_tiles(accum, teff)
         ranges3 = jnp.concatenate([sp.ranges, ndone[:, 0, 0][None, :]], axis=0)
         shapes = (depths.shape, rect_min.shape, tiles_d.shape)
-        return (acc, te, sp.total_pairs), (
-            ranges3, sp.pairs, traw, depths.shape[0], shapes,
-        )
+        out = (acc, te, sp.total_pairs)
+        if export:
+            out = out + (_cache_of(sp, depths.shape[0]),)
+        return out, (ranges3, sp.pairs, traw, depths.shape[0], shapes)
 
     def bwd(res, cts):
         ranges, pairs, traw, p, shapes = res
-        ct_accum_t, ct_teff_t, _ = cts  # total_pairs cotangent is symbolic-zero
+        ct_accum_t, ct_teff_t = cts[0], cts[1]  # remaining cts symbolic-zero
         pad = ng * group - num_tiles
         ct_acc = jnp.pad(ct_accum_t, ((0, pad), (0, 0), (0, 0)))
         ct_acc = ct_acc.reshape(ng, group, PIX_PER_TILE, 3).transpose(0, 2, 1, 3)
@@ -442,12 +606,14 @@ def blend_tiles_grouped_fused(
     max_pairs: int,
     chunk: int = 128,
     group: int = 8,
+    export_cache: bool = False,
 ):
     """Grouped production path: returns (accum [T,256,3], log_teff [T,256],
-    total_pairs). Gradients flow to means2d/conics/opacities/colors."""
+    total_pairs[, BinningCache]). Gradients flow to means2d/conics/
+    opacities/colors."""
     assert chunk % 128 == 0
     assert group in (1, 8, 16, 32), "group must be 1 or a multiple of 8 (block tiling)"
-    fn = _make_fused_blend(grid_w, grid_h, chunk, group, max_pairs)
+    fn = _make_fused_blend(grid_w, grid_h, chunk, group, max_pairs, export_cache)
     return fn(
         jax.lax.stop_gradient(pre.depths),
         jax.lax.stop_gradient(pre.rect_min),

@@ -75,6 +75,9 @@ class RenderOutput(NamedTuple):
     final_t: jnp.ndarray  # [H, W] transmittance left after blending
     radii: jnp.ndarray  # [P] int32 screen radii; 0 = culled (visibility filter)
     total_pairs: jnp.ndarray  # [] int32, > max_pairs means overflow
+    # BinningCache snapshot when export_binning_cache was requested (None
+    # otherwise) — see ops/pallas_blend_grouped.BinningCache.
+    binning_cache: object = None
 
 
 def render(
@@ -91,6 +94,8 @@ def render(
     means2d_offset: jnp.ndarray | None = None,
     colors_precomp: jnp.ndarray | None = None,
     active_sh_degree: jnp.ndarray | None = None,
+    binning_cache=None,
+    export_binning_cache: bool = False,
 ) -> RenderOutput:
     """Render one view. All per-Gaussian inputs are capacity-padded [P, ...].
 
@@ -98,6 +103,13 @@ def render(
     with activations already applied (exp/normalize/sigmoid are the model's
     job, as in gaussian_model.cpp:48-71). `means2d_offset` is the all-zeros
     screen-space dummy whose cotangent feeds densification stats.
+
+    `binning_cache` (a BinningCache from a prior `export_binning_cache=True`
+    render of the SAME camera/resolution/capacity) reuses the frozen pair
+    permutation and skips the whole expand/sort/realign stage — the TPU-
+    first cross-step persistence described in docs/PERF.md (the reference
+    re-bins every iteration, rasterizer_impl.cu:456-500). Only valid on the
+    grouped Pallas path.
     """
     gw, gh = cfg.grid
     # Accept host numpy inputs at the public boundary: gather-by-tracer on a
@@ -123,22 +135,54 @@ def render(
         active_sh_degree=active_sh_degree,
     )
     if cfg.use_pallas() and cfg.pallas_group > 1:
-        from .pallas_blend_grouped import blend_tiles_grouped_fused
-
-        accum, log_t_eff, total_pairs = blend_tiles_grouped_fused(
-            pre,
-            opacities,
-            grid_w=gw,
-            grid_h=gh,
-            max_pairs=cfg.max_pairs,
-            chunk=cfg.pallas_chunk,
-            group=cfg.pallas_group,
+        from .pallas_blend_grouped import (
+            blend_tiles_grouped_cached,
+            blend_tiles_grouped_fused,
         )
+
+        cache_out = None
+        if binning_cache is not None:
+            accum, log_t_eff, total_pairs = blend_tiles_grouped_cached(
+                pre,
+                opacities,
+                binning_cache,
+                grid_w=gw,
+                grid_h=gh,
+                chunk=cfg.pallas_chunk,
+                group=cfg.pallas_group,
+            )
+        elif export_binning_cache:
+            accum, log_t_eff, total_pairs, cache_out = blend_tiles_grouped_fused(
+                pre,
+                opacities,
+                grid_w=gw,
+                grid_h=gh,
+                max_pairs=cfg.max_pairs,
+                chunk=cfg.pallas_chunk,
+                group=cfg.pallas_group,
+                export_cache=True,
+            )
+        else:
+            accum, log_t_eff, total_pairs = blend_tiles_grouped_fused(
+                pre,
+                opacities,
+                grid_w=gw,
+                grid_h=gh,
+                max_pairs=cfg.max_pairs,
+                chunk=cfg.pallas_chunk,
+                group=cfg.pallas_group,
+            )
         image, final_t = assemble_image(
             accum, log_t_eff, bg, grid_w=gw, grid_h=gh, width=cfg.width, height=cfg.height
         )
         return RenderOutput(
-            image=image, final_t=final_t, radii=pre.radii, total_pairs=total_pairs
+            image=image, final_t=final_t, radii=pre.radii,
+            total_pairs=total_pairs, binning_cache=cache_out,
+        )
+    if binning_cache is not None or export_binning_cache:
+        raise ValueError(
+            "binning_cache/export_binning_cache require the grouped Pallas "
+            "path (cfg.use_pallas() and pallas_group > 1)"
         )
 
     binned = bin_gaussians(
