@@ -37,6 +37,7 @@ def run_quality(
     progress: bool = True,
     hard: bool = False,
     mesh=None,
+    rebin_interval: int = 1,
 ):
     import jax.numpy as jnp
 
@@ -57,6 +58,7 @@ def run_quality(
         ),
         new_keyframe_times_of_use=times_of_use,
         do_inactive_geo_densify=False,  # RGB-D mode: dense depth available
+        rebin_interval=rebin_interval,
     )
     mapper = GaussianMapper(
         settings=settings, capacity=capacity, max_pairs=max_pairs,
@@ -113,6 +115,7 @@ def run_quality(
         "scene": "hard" if hard else "easy",
         "compiles": mapper.compile_count,
         "compile_wall_s": round(mapper.compile_wall, 1),
+        "rebin_interval": rebin_interval,
     }
 
 
@@ -130,6 +133,10 @@ def main():
                     help="round-2 scene (no occluders/specular/fine texture)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="view-parallel training over an N-device mesh")
+    ap.add_argument("--rebin", type=int, default=1,
+                    help="Mapper.rebin_interval: reuse each (keyframe, "
+                    "level) binning for N-1 re-renders (docs/PERF.md "
+                    "cross-step persistence; 1 = reference semantics)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.res.split("x"))
 
@@ -141,7 +148,8 @@ def main():
 
         mesh = Mesh(np.array(jax.devices()[: args.mesh]), ("dp",))
     res = run_quality(args.frames, w, h, args.iterations,
-                      capacity=args.capacity, hard=not args.easy, mesh=mesh)
+                      capacity=args.capacity, hard=not args.easy, mesh=mesh,
+                      rebin_interval=args.rebin)
     if args.mesh:
         res["mesh_devices"] = args.mesh
     res["platform"] = jax.default_backend()
@@ -176,6 +184,12 @@ gradients on replicated state (`GaussianMapper(mesh=...)`).
         md_path.write_text(base)
         print("wrote QUALITY_MESH.json + QUALITY.md mesh section")
         return
+    if args.rebin > 1:
+        # rebin evidence is a SEPARATE artifact: the committed baseline
+        # stays the reference-semantics (rebin=1) number
+        (root / "QUALITY_REBIN.json").write_text(json.dumps(res, indent=2) + "\n")
+        print("wrote QUALITY_REBIN.json")
+        return
     (root / "QUALITY.json").write_text(json.dumps(res, indent=2) + "\n")
     md = f"""# QUALITY — held-out novel-view fidelity
 
@@ -201,6 +215,28 @@ Metrics match the reference formulas: `psnr_gaussian_splatting`
 SSIM with the 11x11 sigma=1.5 window (include/loss_utils.h:49-124).
 The Photo-SLAM-class context for real Replica room0 is ~35 dB; the
 regression floor is enforced by tests/test_quality.py.
+"""
+    if not args.easy:
+        md += """
+The round-2 EASY scene (Lambertian box room, `--easy`) measured
+**40.79 dB / 0.9927 SSIM** at the same 1200x680 / 3000-iteration config
+(git history, round-2 QUALITY.json); the hard scene intentionally drops
+PSNR — occluders, fine texture and specular highlights are what make it
+evidence rather than a softball.
+"""
+    rebin_path = root / "QUALITY_REBIN.json"
+    if rebin_path.exists():
+        rb = json.loads(rebin_path.read_text())
+        if rb.get("resolution") == res["resolution"] and rb.get("scene") == res["scene"]:
+            md += f"""
+## Cross-step binning persistence (QUALITY_REBIN.json)
+
+Same scene/config with `rebin_interval: {rb['rebin_interval']}` (each
+keyframe's pair permutation reused for {rb['rebin_interval'] - 1}
+re-renders, docs/PERF.md): **{rb['psnr_mean']:.2f} dB /
+{rb['ssim_mean']:.4f} SSIM** vs {res['psnr_mean']:.2f} /
+{res['ssim_mean']:.4f} at reference semantics (rebin 1) — wall time
+{rb['train_seconds']} s vs {res['train_seconds']} s.
 """
     (root / "QUALITY.md").write_text(md)
     print("wrote QUALITY.md / QUALITY.json")
