@@ -22,7 +22,11 @@ import numpy as np
 
 A100_REFERENCE_ITERS_PER_SEC = 30.0
 
-HEIGHT, WIDTH = 680, 1200
+# default = Replica room0 resolution; GSDF_BENCH_RES=1226x370 probes the
+# KITTI streaming resolution (kitti_parser.hpp:156-157, BASELINE.md)
+WIDTH, HEIGHT = (
+    int(v) for v in os.environ.get("GSDF_BENCH_RES", "1200x680").split("x")
+)
 N_GAUSSIANS = 200_000
 CAPACITY = 1 << 18
 # autosized-realistic: 1.15x the observed 156.3k pairs (exact-KNN scale
