@@ -541,9 +541,15 @@ class GaussianMapper:
         return static_opt, live
 
     def _sharded_step_phase(self):
-        """View-parallel batched step: n_devices keyframes per iteration,
-        full resolution (pyramid sub-level scheduling is a per-view policy
-        and stays single-chip)."""
+        """View-parallel batched step: n_devices keyframes per iteration.
+
+        Pyramid sub-level scheduling is batch-uniform here: SPMD needs one
+        static shape per step, so the whole batch trains at the level the
+        FIRST sampled keyframe's scheduler picks (each other view's budget
+        at that level is consumed too, when it has any left). The aggregate
+        low-res-first cadence of getCurrentGausPyramidLevel
+        (gaussian_keyframe.cpp:234-246) is preserved; per-view level
+        divergence is not — a per-view policy cannot batch across a mesh."""
         from ..parallel.sharding import batch_cameras, make_sharded_train_step
 
         s = self.settings
@@ -566,14 +572,47 @@ class GaussianMapper:
             kfs.append(kfs[i % n0])
         self.iteration += 1
 
-        h, w = kfs[0].image.shape[:2]
-        assert all(kf.image.shape[:2] == (h, w) for kf in kfs), (
+        n_levels = s.num_gaus_pyramid_sub_levels
+        level = n_levels
+        if s.do_gaus_pyramid_training and all(kf.pyramid_images for kf in kfs):
+            level = kfs[0].current_pyramid_level()
+            if level < n_levels:
+                # consume each distinct other view's budget at this level
+                # (padding repeats keyframe objects; don't double-charge)
+                seen = {id(kfs[0])}
+                for kf in kfs[1:]:
+                    if id(kf) in seen:
+                        continue
+                    seen.add(id(kf))
+                    if (
+                        level < len(kf.pyramid_times_of_use)
+                        and kf.pyramid_times_of_use[level] > 0
+                    ):
+                        kf.pyramid_times_of_use[level] -= 1
+        if level >= n_levels:
+            h, w = kfs[0].image.shape[:2]
+            imgs_hw = [kf.image.shape[:2] for kf in kfs]
+        else:
+            h, w = kfs[0].pyramid_images[level].shape[:2]
+            imgs_hw = [kf.pyramid_images[level].shape[:2] for kf in kfs]
+        assert all(hw == (h, w) for hw in imgs_hw), (
             "mesh mode requires uniform keyframe resolution"
         )
-        n_levels = s.num_gaus_pyramid_sub_levels
-        gt = jnp.stack([self._gt_device(kf, n_levels, n_levels) for kf in kfs])
+        gt = jnp.stack([self._gt_device(kf, level, n_levels) for kf in kfs])
         masks = None
-        if any(kf.mask is not None for kf in kfs):
+        if level < n_levels:
+            if any(kf.pyramid_masks for kf in kfs):
+                # level-appropriate undistort/sky masks
+                # (gaus_pyramid_undistort_mask_, camera.h:103-105)
+                masks = jnp.stack(
+                    [
+                        jnp.asarray(kf.pyramid_masks[level])
+                        if kf.pyramid_masks
+                        else jnp.ones((h, w), jnp.float32)
+                        for kf in kfs
+                    ]
+                )
+        elif any(kf.mask is not None for kf in kfs):
             masks = jnp.stack(
                 [
                     jnp.asarray(kf.mask)

@@ -248,3 +248,51 @@ def test_sharded_trajectory_equivalence():
                 d = float(np.abs(a - b).max())
                 print(f"it={it} {name}: max|sharded-replay|={d:.3e}")
                 np.testing.assert_allclose(a, b, atol=atol)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_mapper_mesh_mode_pyramid_scheduling():
+    """Mesh mode trains pyramid sub-levels batch-uniformly: the whole batch
+    follows the low-res-first cadence of getCurrentGausPyramidLevel
+    (gaussian_keyframe.cpp:234-246), consuming every distinct view's budget
+    at the chosen level once per batch, then graduates to full res."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from test_mapper import _mapper, make_frames
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    frames = make_frames(n=4)
+    m = _mapper(frames)
+    m.mesh = mesh
+    m.settings = dataclasses.replace(
+        m.settings,
+        new_keyframe_times_of_use=100,
+        do_gaus_pyramid_training=True,
+        num_gaus_pyramid_sub_levels=2,
+        gaus_pyramid_sub_level_times_of_use=2,
+    )
+    for i, f in enumerate(frames):
+        m.ingest_frame(i, f)
+    kfs = list(m.scene.keyframes.values())
+    assert all(kf.pyramid_times_of_use == [2, 2] for kf in kfs)
+    assert all(
+        [im.shape[:2] for im in kf.pyramid_images] == [(8, 8), (16, 16)]
+        for kf in kfs
+    )
+
+    # every batch contains all 4 distinct keyframes (8 samples over a
+    # 4-keyframe window), so budgets march in lockstep: two batches at
+    # level 0, two at level 1, then full resolution
+    for expect_after in ([1, 2], [0, 2], [0, 1], [0, 0]):
+        out = m.train_for_one_iteration()
+        assert out is not None and np.isfinite(out["loss"])
+        assert all(kf.pyramid_times_of_use == expect_after for kf in kfs), (
+            [kf.pyramid_times_of_use for kf in kfs],
+            expect_after,
+        )
+    # budgets exhausted -> full-res step still works
+    out = m.train_for_one_iteration()
+    assert out is not None and np.isfinite(out["loss"])
+    assert np.isfinite(np.asarray(m.state.xyz)).all()
