@@ -66,7 +66,12 @@ def build_scene(seed=0):
     return state, adam
 
 
-def main():
+def measure(state, adam, width, height, rebin):
+    """Time the full jitted train step at one resolution.
+
+    Returns (production-cadence it/s, fresh-binning it/s, live pair count).
+    States CHAIN through the loops so every step truly executes (the
+    runtime elides/overlaps independent repeat calls, inflating rates)."""
     import jax
     import jax.numpy as jnp
 
@@ -74,22 +79,17 @@ def main():
     from gsdf_slam_tpu.engine import train_step
     from gsdf_slam_tpu.ops import CameraMatrices, RasterizeConfig
 
-    state, adam = build_scene()
-    fovx = 2 * np.arctan(WIDTH / (2 * 600.0))
-    fovy = 2 * np.arctan(HEIGHT / (2 * 600.0))
+    fovx = 2 * np.arctan(width / (2 * 600.0))
+    fovy = 2 * np.arctan(height / (2 * 600.0))
     cam = CameraMatrices.from_pose(np.array([1.0, 0, 0, 0]), np.zeros(3), fovx, fovy)
     cfg = RasterizeConfig(
-        height=HEIGHT, width=WIDTH, max_pairs=MAX_PAIRS, chunk=CHUNK,
+        height=height, width=width, max_pairs=MAX_PAIRS, chunk=CHUNK,
         pallas_chunk=PALLAS_CHUNK, pallas_group=PALLAS_GROUP,
     )
     opt = OptimizationParams()
     rng = np.random.default_rng(1)
-    gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 1, (height, width, 3)).astype(np.float32))
     bg = jnp.zeros(3)
-
-    from gsdf_slam_tpu.engine.settings import MapperSettings
-
-    rebin = REBIN_INTERVAL or MapperSettings().rebin_interval
 
     def one(s, a, it, cache=None, export=False):
         return train_step(
@@ -97,8 +97,6 @@ def main():
             binning_cache=cache, export_binning_cache=export,
         )
 
-    # warmup/compile — states CHAIN so every step truly executes (the
-    # runtime elides/overlaps independent repeat calls, inflating rates)
     s, a = state, adam
     for i in range(WARMUP):
         s, a, m = one(s, a, i + 1)
@@ -131,6 +129,17 @@ def main():
         jax.block_until_ready((s.xyz, a.m["xyz"]))
         float(m.loss)
         ips = ITERS / (time.perf_counter() - t0)
+    return ips, ips_fresh, pairs
+
+
+def main():
+    import jax
+
+    from gsdf_slam_tpu.engine.settings import MapperSettings
+
+    state, adam = build_scene()
+    rebin = REBIN_INTERVAL or MapperSettings().rebin_interval
+    ips, ips_fresh, pairs = measure(state, adam, WIDTH, HEIGHT, rebin)
 
     detail = {
         "resolution": f"{WIDTH}x{HEIGHT}",
@@ -140,6 +149,17 @@ def main():
         "rebin_interval": rebin,
         "iters_per_sec_fresh_binning": round(ips_fresh, 3),
     }
+    # BASELINE.md prescribes timing at Replica room0 AND KITTI streaming
+    # resolutions (kitti_parser.hpp:156-157). Second pass unless the main
+    # run was already re-pointed via GSDF_BENCH_RES.
+    if "GSDF_BENCH_RES" not in os.environ:
+        k_ips, k_fresh, k_pairs = measure(state, adam, 1226, 370, rebin)
+        detail["kitti"] = {
+            "resolution": "1226x370",
+            "iters_per_sec": round(k_ips, 3),
+            "iters_per_sec_fresh_binning": round(k_fresh, 3),
+            "pairs": k_pairs,
+        }
     # attach the latest committed quality artifact (benchmarks/quality.py)
     qpath = Path(__file__).parent / "QUALITY.json"
     if qpath.exists():

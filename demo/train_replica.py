@@ -32,9 +32,15 @@ def main():
     ap.add_argument("--viewer", action="store_true")
     ap.add_argument(
         "--mesh", type=int, default=0, metavar="N",
-        help="multi-chip mode: view-parallel training over an N-device "
-        "jax mesh (each iteration batches N keyframes, pmean grads over "
-        "ICI; parallel/sharding.py). 0 = single device.",
+        help="multi-chip mode: training over an N-device jax mesh. "
+        "0 = single device.",
+    )
+    ap.add_argument(
+        "--mesh-axis", choices=("view", "tile"), default="view",
+        help="mesh parallelism axis: 'view' batches N keyframes per "
+        "iteration (throughput; parallel/sharding.py), 'tile' keeps the "
+        "1-view schedule and splits each render into tile-row bands "
+        "(latency; parallel/tile_sharding.py)",
     )
     args = ap.parse_args()
 
@@ -64,7 +70,11 @@ def main():
                 f"device_count={args.mesh})"
             )
         mesh = Mesh(np.array(devs[: args.mesh]), ("dp",))
-        print(f"mesh mode: {args.mesh}-device view-parallel training")
+        kind = (
+            "view-parallel" if args.mesh_axis == "view"
+            else "tile-sharded (band-parallel)"
+        )
+        print(f"mesh mode: {args.mesh}-device {kind} training")
 
     loader = DataLoader(args.scene, "replica", cloud_stride=args.cloud_stride)
     mapper = GaussianMapper(
@@ -74,6 +84,7 @@ def main():
         capacity=args.capacity,
         max_pairs=args.max_pairs,
         mesh=mesh,
+        mesh_axis=args.mesh_axis,
     )
     if args.viewer:
         from gsdf_slam_tpu.viewer import ViewerServer

@@ -68,8 +68,13 @@ class GaussianMapper:
         seed: int = 0,
         sky_mask: np.ndarray | None = None,
         mesh=None,
+        mesh_axis: str = "view",  # "view" (throughput) | "tile" (latency)
         backend: str = "auto",  # RasterizeConfig.backend ("xla"/"pallas")
     ):
+        if mesh_axis not in ("view", "tile"):
+            raise ValueError(
+                f"mesh_axis must be 'view' or 'tile', got {mesh_axis!r}"
+            )
         self.backend = backend
         self.settings = settings or MapperSettings()
         self.dataloader = dataloader
@@ -144,12 +149,18 @@ class GaussianMapper:
         # 172-204), built lazily at ingest when distortion is present.
         self._undistorters: dict[int, object] = {}
         self._feed_intrinsics = None  # intrinsics passed via feed_keyframe
-        # Multi-chip mode: a 1-D jax.sharding.Mesh makes every iteration a
-        # view-parallel batched step (n_devices keyframes, pmean'd grads over
-        # ICI — parallel/sharding.py); densify/prune and capacity growth run
-        # on the replicated state. SURVEY §5.8 design extension.
+        # Multi-chip mode: a 1-D jax.sharding.Mesh plus an axis choice.
+        # mesh_axis="view" (throughput): every iteration is a view-parallel
+        # batched step (n_devices keyframes, pmean'd grads over ICI —
+        # parallel/sharding.py). mesh_axis="tile" (latency): the reference's
+        # exact 1-view-per-iteration schedule, but each render is split into
+        # tile-row bands across the chips (parallel/tile_sharding.py).
+        # Densify/prune and capacity growth run on the replicated state in
+        # both. SURVEY §5.8 design extension.
         self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self._sharded_steps: dict = {}
+        self._tile_steps: dict = {}
         from ..utils.observability import PhaseTimer
 
         self.timer = PhaseTimer()
@@ -382,11 +393,13 @@ class GaussianMapper:
     def train_for_one_iteration(self) -> dict | None:
         """trainForOneIteration (:335-468), with densify cadence host-side.
 
-        In mesh mode the one "iteration" is a view-parallel batched step
-        (n_devices keyframes at once, identical per-view math)."""
+        In mesh mode (mesh_axis="view") the one "iteration" is a
+        view-parallel batched step (n_devices keyframes at once, identical
+        per-view math); with mesh_axis="tile" it keeps the reference's
+        1-view schedule but bands the render across the mesh."""
         if not self.initial_mapped:
             return None
-        if self.mesh is not None:
+        if self.mesh is not None and self.mesh_axis == "view":
             res = self._sharded_step_phase()
         else:
             res = self._single_step_phase()
@@ -401,6 +414,10 @@ class GaussianMapper:
             return None
         self.iteration += 1
         s = self.settings
+        # mesh_axis="tile": same 1-view schedule, render banded across the
+        # mesh (parallel/tile_sharding.py); binning persistence is
+        # full-frame-tile-keyed and therefore disabled in this mode.
+        tile_mode = self.mesh is not None and self.mesh_axis == "tile"
 
         n_levels = s.num_gaus_pyramid_sub_levels
         level = n_levels
@@ -434,7 +451,12 @@ class GaussianMapper:
             # rebuild (and snapshot) otherwise. Pallas-path-only; rebuilt
             # whenever capacity/pair-budget/resolution changed underneath.
             use_cache, export_cache = None, False
-            if s.rebin_interval > 1 and cfg.use_pallas() and cfg.pallas_group > 1:
+            if (
+                not tile_mode
+                and s.rebin_interval > 1
+                and cfg.use_pallas()
+                and cfg.pallas_group > 1
+            ):
                 ent = self._bin_cache.get(rk)
                 if (
                     ent is not None
@@ -447,35 +469,66 @@ class GaussianMapper:
                 else:
                     export_cache = True
 
-            _pre_sz = getattr(train_step, "_cache_size", lambda: -1)()
+            ash = (
+                None
+                if self.active_sh_degree is None
+                else jnp.int32(self.active_sh_degree)
+            )
+            if tile_mode:
+                skey = (cfg, static_opt, accumulate)
+                stepper = self._tile_steps.get(skey)
+                if stepper is None:
+                    from ..parallel.tile_sharding import (
+                        make_tile_sharded_train_step,
+                    )
+
+                    stepper, _ = make_tile_sharded_train_step(
+                        self.mesh, cfg, static_opt,
+                        axis=self.mesh.axis_names[0],
+                        accumulate_stats=accumulate,
+                    )
+                    self._tile_steps[skey] = stepper
+            else:
+                stepper = train_step
+            _pre_sz = getattr(stepper, "_cache_size", lambda: -1)()
             _t0 = _time.perf_counter()
             with self.timer.phase("train_step"):
-                res = train_step(
-                    prev_state,
-                    prev_adam,
-                    kf.camera_matrices(s.z_near, s.z_far),
-                    gt,
-                    mask,
-                    bg,
-                    jnp.int32(self.iteration),
-                    jnp.float32(self.spatial_lr_scale),
-                    cfg,
-                    static_opt,
-                    accumulate_stats=accumulate,
-                    active_sh_degree=(
-                        None
-                        if self.active_sh_degree is None
-                        else jnp.int32(self.active_sh_degree)
-                    ),
-                    live=live,
-                    binning_cache=use_cache,
-                    export_binning_cache=export_cache,
-                )
+                if tile_mode:
+                    res = stepper(
+                        prev_state,
+                        prev_adam,
+                        kf.camera_matrices(s.z_near, s.z_far),
+                        gt,
+                        mask,
+                        bg,
+                        jnp.int32(self.iteration),
+                        jnp.float32(self.spatial_lr_scale),
+                        live,
+                        ash,
+                    )
+                else:
+                    res = stepper(
+                        prev_state,
+                        prev_adam,
+                        kf.camera_matrices(s.z_near, s.z_far),
+                        gt,
+                        mask,
+                        bg,
+                        jnp.int32(self.iteration),
+                        jnp.float32(self.spatial_lr_scale),
+                        cfg,
+                        static_opt,
+                        accumulate_stats=accumulate,
+                        active_sh_degree=ash,
+                        live=live,
+                        binning_cache=use_cache,
+                        export_binning_cache=export_cache,
+                    )
             if export_cache:
                 self.state, self.adam, metrics, built_cache = res
             else:
                 self.state, self.adam, metrics = res
-            if getattr(train_step, "_cache_size", lambda: -1)() > _pre_sz:
+            if getattr(stepper, "_cache_size", lambda: -1)() > _pre_sz:
                 self.compile_count += 1
                 self.compile_wall += _time.perf_counter() - _t0
             # One bundled host fetch per step (the loss read below was a

@@ -69,6 +69,7 @@ def render_state(
     active_sh_degree: jnp.ndarray | None = None,
     binning_cache=None,
     export_binning_cache: bool = False,
+    tile_row_band: tuple | None = None,
 ) -> RenderOutput:
     """GaussianRenderer::render (gaussian_renderer.cpp:23-141): activations +
     rasterizer call. separate_sh dc/rest path is the only one implemented —
@@ -88,6 +89,7 @@ def render_state(
         active_sh_degree=active_sh_degree,
         binning_cache=binning_cache,
         export_binning_cache=export_binning_cache,
+        tile_row_band=tile_row_band,
     )
 
 

@@ -40,6 +40,35 @@ class Preprocessed(NamedTuple):
     tiles_touched: jnp.ndarray  # [P] int32 rect area (0 => skip)
 
 
+def band_view(pre: Preprocessed, tile_row0, num_tile_rows: int) -> Preprocessed:
+    """Restrict preprocessed Gaussians to a horizontal band of tile rows.
+
+    The band starts at tile row `tile_row0` (traced int scalar is fine) and
+    spans `num_tile_rows` (static). Returns a Preprocessed whose rects and
+    means2d live in BAND coordinates — downstream binning/blend then run on
+    a (grid_w, num_tile_rows) grid and produce the band's pixels. Everything
+    is translation-invariant (conics, depths, colors); `radii` keeps the
+    FULL-image visibility so the reference's radii>0 filter
+    (forward.cu:296-297) stays view-global. Used by the tile-sharded
+    multi-chip step (parallel/tile_sharding.py) — the reference has no
+    equivalent (single GPU renders the whole frame,
+    rasterizer_impl.cu:456-500)."""
+    ty0 = jnp.asarray(tile_row0, jnp.int32)
+    rmin_y = jnp.clip(pre.rect_min[:, 1] - ty0, 0, num_tile_rows)
+    rmax_y = jnp.clip(pre.rect_max[:, 1] - ty0, 0, num_tile_rows)
+    h = rmax_y - rmin_y  # >= 0: clip preserves rect_max >= rect_min
+    w = pre.rect_max[:, 0] - pre.rect_min[:, 0]
+    area = jnp.where(pre.tiles_touched > 0, w * h, 0)
+    y_shift = (ty0 * TILE).astype(jnp.float32)
+    means2d = pre.means2d - jnp.array([0.0, 1.0], jnp.float32) * y_shift
+    return pre._replace(
+        means2d=means2d,
+        rect_min=jnp.stack([pre.rect_min[:, 0], rmin_y], axis=1),
+        rect_max=jnp.stack([pre.rect_max[:, 0], rmax_y], axis=1),
+        tiles_touched=area.astype(jnp.int32),
+    )
+
+
 def tile_grid(width: int, height: int) -> tuple[int, int]:
     gw = (width + TILE - 1) // TILE
     gh = (height + TILE - 1) // TILE

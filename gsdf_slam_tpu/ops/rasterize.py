@@ -96,6 +96,7 @@ def render(
     active_sh_degree: jnp.ndarray | None = None,
     binning_cache=None,
     export_binning_cache: bool = False,
+    tile_row_band: tuple | None = None,
 ) -> RenderOutput:
     """Render one view. All per-Gaussian inputs are capacity-padded [P, ...].
 
@@ -110,6 +111,12 @@ def render(
     first cross-step persistence described in docs/PERF.md (the reference
     re-bins every iteration, rasterizer_impl.cu:456-500). Only valid on the
     grouped Pallas path.
+
+    `tile_row_band=(tile_row0, num_tile_rows)` renders only a horizontal
+    band of tile rows (band coordinates; output image is
+    [num_tile_rows*16, W, 3]); `tile_row0` may be traced, `num_tile_rows`
+    must be static. Radii stay FULL-image visibility. Used by the
+    tile-sharded multi-chip step (parallel/tile_sharding.py).
     """
     gw, gh = cfg.grid
     # Accept host numpy inputs at the public boundary: gather-by-tracer on a
@@ -134,6 +141,18 @@ def render(
         colors_precomp=colors_precomp,
         active_sh_degree=active_sh_degree,
     )
+    out_h = cfg.height
+    if tile_row_band is not None:
+        if binning_cache is not None or export_binning_cache:
+            raise ValueError(
+                "tile_row_band cannot be combined with binning_cache/"
+                "export_binning_cache (the cache freezes full-frame tiles)"
+            )
+        from .projection import band_view
+
+        ty0, gh = tile_row_band
+        pre = band_view(pre, ty0, gh)
+        out_h = gh * 16
     if cfg.use_pallas() and cfg.pallas_group > 1:
         from .pallas_blend_grouped import (
             blend_tiles_grouped_cached,
@@ -173,7 +192,7 @@ def render(
                 group=cfg.pallas_group,
             )
         image, final_t = assemble_image(
-            accum, log_t_eff, bg, grid_w=gw, grid_h=gh, width=cfg.width, height=cfg.height
+            accum, log_t_eff, bg, grid_w=gw, grid_h=gh, width=cfg.width, height=out_h
         )
         return RenderOutput(
             image=image, final_t=final_t, radii=pre.radii,
@@ -221,7 +240,7 @@ def render(
             chunk=cfg.chunk,
         )
     image, final_t = assemble_image(
-        accum, log_t_eff, bg, grid_w=gw, grid_h=gh, width=cfg.width, height=cfg.height
+        accum, log_t_eff, bg, grid_w=gw, grid_h=gh, width=cfg.width, height=out_h
     )
     return RenderOutput(
         image=image, final_t=final_t, radii=pre.radii, total_pairs=binned.total_pairs
