@@ -133,6 +133,10 @@ def main():
                     help="round-2 scene (no occluders/specular/fine texture)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="view-parallel training over an N-device mesh")
+    ap.add_argument("--max-pairs", type=int, default=1 << 20,
+                    help="fixed pair capacity (every binning stage scales "
+                    "with it; size to ~1.3x the live peak for the chosen "
+                    "resolution when running on a CPU mesh)")
     ap.add_argument("--rebin", type=int, default=1,
                     help="Mapper.rebin_interval: reuse each (keyframe, "
                     "level) binning for N-1 re-renders (docs/PERF.md "
@@ -148,7 +152,8 @@ def main():
 
         mesh = Mesh(np.array(jax.devices()[: args.mesh]), ("dp",))
     res = run_quality(args.frames, w, h, args.iterations,
-                      capacity=args.capacity, hard=not args.easy, mesh=mesh,
+                      capacity=args.capacity, max_pairs=args.max_pairs,
+                      hard=not args.easy, mesh=mesh,
                       rebin_interval=args.rebin)
     if args.mesh:
         res["mesh_devices"] = args.mesh

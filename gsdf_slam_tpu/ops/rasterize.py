@@ -118,7 +118,6 @@ def render(
     must be static. Radii stay FULL-image visibility. Used by the
     tile-sharded multi-chip step (parallel/tile_sharding.py).
     """
-    gw, gh = cfg.grid
     # Accept host numpy inputs at the public boundary: gather-by-tracer on a
     # raw np.ndarray inside the blend scan would otherwise fail.
     means3d, scales, quats, opacities, dc, sh_rest, alive, bg = (
@@ -141,6 +140,33 @@ def render(
         colors_precomp=colors_precomp,
         active_sh_degree=active_sh_degree,
     )
+    return render_preprocessed(
+        pre, opacities, bg, cfg,
+        tile_row_band=tile_row_band,
+        binning_cache=binning_cache,
+        export_binning_cache=export_binning_cache,
+    )
+
+
+def render_preprocessed(
+    pre,
+    opacities: jnp.ndarray,
+    bg: jnp.ndarray,
+    cfg: RasterizeConfig,
+    tile_row_band: tuple | None = None,
+    binning_cache=None,
+    export_binning_cache: bool = False,
+) -> RenderOutput:
+    """Binning + blend + composite on an already-preprocessed payload.
+
+    The post-preprocess half of `render` (the reference fuses both inside
+    CudaRasterizer::Rasterizer::forward, rasterizer_impl.cu:366-538; the
+    split here is the boundary the param-sharded multi-chip step needs —
+    preprocess runs on each chip's Gaussian shard, the compact Preprocessed
+    payload is all_gathered, and this function renders from it;
+    parallel/param_sharding.py). Differentiable w.r.t. `pre` and
+    `opacities` exactly like `render`."""
+    gw, gh = cfg.grid
     out_h = cfg.height
     if tile_row_band is not None:
         if binning_cache is not None or export_binning_cache:
@@ -213,7 +239,8 @@ def render(
         from .pallas_blend import blend_tiles_pallas
 
         aligned = align_pairs(
-            binned, means3d.shape[0], num_tiles=gw * gh, chunk=cfg.pallas_chunk
+            binned, pre.means2d.shape[0], num_tiles=gw * gh,
+            chunk=cfg.pallas_chunk,
         )
         accum, log_t_eff = blend_tiles_pallas(
             aligned.ranges,
