@@ -27,7 +27,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def run_stream(n_frames: int, width: int, height: int, presize: bool = True):
+def run_stream(
+    n_frames: int,
+    width: int,
+    height: int,
+    presize: bool = True,
+    pipeline: int = 0,
+):
     from benchmarks.synthetic_room import make_sequence
     from gsdf_slam_tpu.config import OptimizationParams
     from gsdf_slam_tpu.data import CameraIntrinsics
@@ -43,6 +49,7 @@ def run_stream(n_frames: int, width: int, height: int, presize: bool = True):
             opacity_reset_interval=0,
         ),
         new_keyframe_times_of_use=3,
+        metrics_pipeline_depth=pipeline,
         do_inactive_geo_densify=False,
         # 47*16k covers the early-stream pair peak (~640k: fresh splats are
         # large until their scales optimize down); autosizing stays ON so a
@@ -71,12 +78,18 @@ def run_stream(n_frames: int, width: int, height: int, presize: bool = True):
         mapper.feed_keyframe(i, pose, rgb, depth=depth, intrinsics=intr)
         if mapper.train_for_one_iteration() is not None:
             n_iters += 1
-    # drain the keyframe window like the reference's post-stream training
-    while True:
-        out = mapper.train_for_one_iteration()
-        if out is None:
-            break
-        n_iters += 1
+    # drain the keyframe window's remaining use budget like the
+    # reference's post-stream training (the sampler itself refills +1 use
+    # to all when exhausted, gaussian_mapper.cpp:548-551, so it never runs
+    # dry — bound the drain by the budget outstanding at stream end)
+    drain = sum(
+        max(kf.remaining_times_of_use, 0)
+        for kf in mapper.scene.keyframes.values()
+    )
+    for _ in range(drain):
+        if mapper.train_for_one_iteration() is not None:
+            n_iters += 1
+    mapper.flush_metrics()
     wall = time.perf_counter() - t0
     return {
         "frames": n_frames,
@@ -99,16 +112,25 @@ def main():
     ap.add_argument("--no-presize", action="store_true")
     ap.add_argument("--warm", action="store_true",
                     help="run twice; report the second (cache-warm) run too")
+    ap.add_argument("--pipeline", type=int, default=2,
+                    help="metrics_pipeline_depth (0 = reference-synchronous)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     w, h = (int(v) for v in args.res.split("x"))
 
     import jax
 
-    result = {"platform": jax.devices()[0].platform}
-    result["cold"] = run_stream(args.frames, w, h, presize=not args.no_presize)
+    result = {
+        "platform": jax.devices()[0].platform,
+        "pipeline_depth": args.pipeline,
+    }
+    result["cold"] = run_stream(
+        args.frames, w, h, presize=not args.no_presize, pipeline=args.pipeline
+    )
     if args.warm:
-        result["warm"] = run_stream(args.frames, w, h, presize=not args.no_presize)
+        result["warm"] = run_stream(
+            args.frames, w, h, presize=not args.no_presize, pipeline=args.pipeline
+        )
     print(json.dumps(result, indent=2))
     out = Path(args.out) if args.out else Path(__file__).parent.parent / "E2E.json"
     out.write_text(json.dumps(result, indent=2) + "\n")

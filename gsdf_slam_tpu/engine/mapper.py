@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import math
 import random
+from collections import OrderedDict
 from pathlib import Path
 
 import jax
@@ -54,6 +55,10 @@ from .keyframe import Camera, Keyframe, rot_to_quat_wxyz
 from .scene import Scene
 from .settings import MapperSettings
 from .train import LiveOptValues, render_depth_state, render_state, train_step
+
+# Sentinel returned by _single_step_phase when the step was dispatched but
+# its metrics are still in flight (settings.metrics_pipeline_depth > 0).
+_PENDING = object()
 
 
 class GaussianMapper:
@@ -115,7 +120,32 @@ class GaussianMapper:
         self._kfid_shuffle: list[int] = []
         self._kfid_shuffle_idx = 0
         self.kfs_used_times: dict[int, int] = {}
-        self._gt_cache: dict[tuple[int, int], jnp.ndarray] = {}
+        # Device-resident image cache (gt + masks), byte-budgeted LRU: the
+        # relay uploads ~14 MB/s (benchmarks/relay_probe.py), so re-uploading
+        # an evicted full-res gt costs ~0.7 s — far more than holding every
+        # (keyframe, level) image on-chip. Keyed (kind, fid, level); images
+        # are immutable after ingest.
+        self._img_cache: OrderedDict[tuple, jnp.ndarray] = OrderedDict()
+        self._img_cache_nbytes = 0
+        # Cached device scalars (each fresh tiny upload costs ~0.4 ms over
+        # the relay; these change rarely or never within a run).
+        self._live_dev = None
+        self._live_key = None
+        self._static_opt_cache: dict = {}
+        self._bg_dev: dict[bool, jnp.ndarray] = {}
+        self._ones_mask_dev: dict[tuple[int, int], jnp.ndarray] = {}
+        self._slr_dev = None
+        self._slr_key = None
+        self._ash_dev = None
+        self._ash_key = None
+        # Pipelined metrics fetch (settings.metrics_pipeline_depth): records
+        # of dispatched-but-unresolved train steps, oldest first. _state_gen
+        # counts out-of-stream state mutations (ingest/densify/reset/pose/
+        # loads): an overflow replay restores a record's pre-step state, so
+        # it is only sound while the generation is unchanged since dispatch.
+        self._pending: list[dict] = []
+        self._last_resolved: dict | None = None
+        self._state_gen = 0
         self._stopped = False
         self.auto_size_pairs = bool(self.settings.auto_size_pairs_setting)
         # seed the high-water from the presize so autosizing doesn't
@@ -185,13 +215,20 @@ class GaussianMapper:
             frame = self.dataloader.get_item(i)
             self.ingest_frame(i, frame)
             self.train_for_one_iteration()
+        self.flush_metrics()
 
     def signal_stop(self) -> None:
         self._stopped = True
 
     # --------------------------------------------------------------- ingest
     def ingest_frame(self, fid: int, frame: FrameData) -> Keyframe:
-        """Register camera+keyframe and grow the model from the new cloud."""
+        """Register camera+keyframe and grow the model from the new cloud.
+
+        Deliberately does NOT flush in-flight pipelined steps: in the
+        streaming 1-iteration-per-frame mode this host-side work (undistort,
+        pyramid, colorize, dedup) overlaps the previous step's device time.
+        An in-flight overflow that would need a replay across this mutation
+        is detected via _state_gen and accepted lossily instead."""
         intr = self.dataloader.frames.intrinsics if self.dataloader else None
         if intr is None:
             intr = self._feed_intrinsics
@@ -322,6 +359,7 @@ class GaussianMapper:
         (densify/prune/ingest/opacity-reset/capacity/loads) or, with `fid`,
         on a single keyframe's pose update — staleness inside a surviving
         cache is then only per-step optimizer drift."""
+        self._state_gen += 1  # see _pending: disallows overflow replays
         if fid is None:
             self._bin_cache.clear()
         else:
@@ -381,14 +419,75 @@ class GaussianMapper:
         if size > self.max_pairs or size * 2 < self.max_pairs:
             self.max_pairs = size
 
+    def _img_device(self, kind: str, fid: int, level: int, img) -> jnp.ndarray:
+        """Byte-budgeted LRU device cache for per-keyframe images."""
+        key = (kind, fid, level)
+        hit = self._img_cache.get(key)
+        if hit is not None:
+            self._img_cache.move_to_end(key)
+            return hit
+        arr = jnp.asarray(img)
+        self._img_cache[key] = arr
+        self._img_cache_nbytes += arr.nbytes
+        budget = self.settings.gt_cache_bytes
+        while budget and self._img_cache_nbytes > budget and len(self._img_cache) > 1:
+            _, old = self._img_cache.popitem(last=False)
+            self._img_cache_nbytes -= old.nbytes
+        return arr
+
     def _gt_device(self, kf: Keyframe, level: int, n_levels: int) -> jnp.ndarray:
-        key = (kf.fid, level)
-        if key not in self._gt_cache:
-            img = kf.image if level >= n_levels else kf.pyramid_images[level]
-            self._gt_cache[key] = jnp.asarray(img)
-            if len(self._gt_cache) > 64:
-                self._gt_cache.pop(next(iter(self._gt_cache)))
-        return self._gt_cache[key]
+        img = kf.image if level >= n_levels else kf.pyramid_images[level]
+        return self._img_device("gt", kf.fid, level, img)
+
+    def _mask_device(self, kf: Keyframe, level: int, n_levels: int):
+        """Level-appropriate undistort/sky mask on device, or None
+        (gaus_pyramid_undistort_mask_, camera.h:103-105)."""
+        if level >= n_levels or not kf.pyramid_images:
+            src = kf.mask
+        elif kf.pyramid_masks:
+            src = kf.pyramid_masks[level]
+        else:
+            src = None
+        if src is None:
+            return None
+        return self._img_device("mask", kf.fid, level, src)
+
+    def _ones_mask_device(self, h: int, w: int) -> jnp.ndarray:
+        key = (h, w)
+        if key not in self._ones_mask_dev:
+            self._ones_mask_dev[key] = jnp.ones((h, w), jnp.float32)
+        return self._ones_mask_dev[key]
+
+    def _live_device(self) -> LiveOptValues:
+        o = self.settings.opt
+        key = (
+            o.position_lr_init, o.feature_lr, o.opacity_lr,
+            o.scaling_lr, o.rotation_lr, o.lambda_dssim,
+        )
+        if key != self._live_key:
+            self._live_dev = LiveOptValues.from_opt(o)
+            self._live_key = key
+        return self._live_dev
+
+    def _bg_device(self) -> jnp.ndarray:
+        white = bool(self.settings.model.white_background)
+        if white not in self._bg_dev:
+            self._bg_dev[white] = jnp.ones(3) if white else jnp.zeros(3)
+        return self._bg_dev[white]
+
+    def _slr_device(self) -> jnp.ndarray:
+        if self._slr_key != self.spatial_lr_scale:
+            self._slr_dev = jnp.float32(self.spatial_lr_scale)
+            self._slr_key = self.spatial_lr_scale
+        return self._slr_dev
+
+    def _ash_device(self):
+        if self.active_sh_degree is None:
+            return None
+        if self._ash_key != self.active_sh_degree:
+            self._ash_dev = jnp.int32(self.active_sh_degree)
+            self._ash_key = self.active_sh_degree
+        return self._ash_dev
 
     def train_for_one_iteration(self) -> dict | None:
         """trainForOneIteration (:335-468), with densify cadence host-side.
@@ -404,7 +503,28 @@ class GaussianMapper:
         else:
             res = self._single_step_phase()
         if res is None:
+            # No keyframe to train on. Drain any in-flight pipelined steps
+            # so a caller's "None = stream done" loop can't exit with
+            # unresolved metrics (or an unreplayed overflow) in flight.
+            self.flush_metrics()
             return None
+        if res is _PENDING:
+            # Pipelined path: metrics resolve later (FIFO). State-mutating
+            # cadence still fires at ITS iteration — but only after draining
+            # the pipeline, because an in-flight overflow replay restores a
+            # pre-step state and would silently discard the surgery.
+            if self._cadence_due(self.iteration):
+                self.flush_metrics()
+                self._cadence_phase(self.iteration)
+            # A step WAS dispatched — never return None (None means "no
+            # keyframe to train on"). Before the first resolve, report a
+            # pending placeholder.
+            if self._last_resolved is not None:
+                return self._last_resolved
+            return {
+                "loss": float("nan"), "psnr": float("nan"),
+                "count": -1, "total_pairs": -1, "pending": True,
+            }
         loss, psnr_v, count_v, total_pairs = res
         return self._post_step_phase(loss, psnr_v, count_v, total_pairs)
 
@@ -427,156 +547,261 @@ class GaussianMapper:
             h, w = kf.image.shape[:2]
         else:
             h, w = kf.pyramid_images[level].shape[:2]
-        cfg = self._raster_cfg(h, w)
         gt = self._gt_device(kf, level, n_levels)
-        mask = None
-        if level >= n_levels or not kf.pyramid_images:
-            if kf.mask is not None:
-                mask = jnp.asarray(kf.mask)
-        elif kf.pyramid_masks:
-            # level-appropriate undistort/sky mask (gaus_pyramid_undistort_
-            # mask_, camera.h:103-105) — sub-levels are masked too.
-            mask = jnp.asarray(kf.pyramid_masks[level])
+        mask = self._mask_device(kf, level, n_levels)
+        self._last_kf = kf
 
-        bg = jnp.ones(3) if s.model.white_background else jnp.zeros(3)
-        accumulate = self.iteration < s.opt.densify_until_iter
-        static_opt, live = self._static_opt_and_live()
+        if not tile_mode and s.metrics_pipeline_depth > 0:
+            rec = self._dispatch_train_step(
+                kf, level, h, w, gt, mask, self.iteration
+            )
+            # Optimistic binning-cache commit: an overflow surfacing at
+            # resolve time replays + invalidates, so a bad entry never
+            # survives a resolve.
+            self._commit_bin_cache(rec)
+            self._pending.append(rec)
+            while len(self._pending) > int(s.metrics_pipeline_depth):
+                self._resolve_one_pending()
+            return _PENDING
+        return self._sync_step(kf, level, h, w, gt, mask, tile_mode, self.iteration)
+
+    def _sync_step(self, kf, level, h, w, gt, mask, tile_mode, iteration):
+        """Dispatch + blocking metrics fetch, with the lossless overflow
+        redo loop: total_pairs > max_pairs means binning DROPPED pairs this
+        step (sentinel overflow design, ops/binning.py) — the frame and its
+        gradients are wrong, so grow the capacity and redo the step from
+        the pre-step state (the reference reallocates its binning buffer
+        instead, rasterize_points.cu:28-36)."""
         prev_state, prev_adam = self.state, self.adam
-        rk = (kf.fid, level)
         for _attempt in range(3):
-            import time as _time
-
-            # Cross-step binning persistence: reuse this (keyframe, level)'s
-            # frozen pair permutation for up to rebin_interval-1 re-renders;
-            # rebuild (and snapshot) otherwise. Pallas-path-only; rebuilt
-            # whenever capacity/pair-budget/resolution changed underneath.
-            use_cache, export_cache = None, False
-            if (
-                not tile_mode
-                and s.rebin_interval > 1
-                and cfg.use_pallas()
-                and cfg.pallas_group > 1
-            ):
-                ent = self._bin_cache.get(rk)
-                if (
-                    ent is not None
-                    and ent["uses"] < s.rebin_interval - 1
-                    and ent["capacity"] == self.state.capacity
-                    and ent["max_pairs"] == cfg.max_pairs
-                    and ent["hw"] == (h, w)
-                ):
-                    use_cache = ent["cache"]
-                else:
-                    export_cache = True
-
-            ash = (
-                None
-                if self.active_sh_degree is None
-                else jnp.int32(self.active_sh_degree)
-            )
             if tile_mode:
-                skey = (cfg, static_opt, accumulate)
-                stepper = self._tile_steps.get(skey)
-                if stepper is None:
-                    from ..parallel.tile_sharding import (
-                        make_tile_sharded_train_step,
-                    )
-
-                    stepper, _ = make_tile_sharded_train_step(
-                        self.mesh, cfg, static_opt,
-                        axis=self.mesh.axis_names[0],
-                        accumulate_stats=accumulate,
-                    )
-                    self._tile_steps[skey] = stepper
-            else:
-                stepper = train_step
-            _pre_sz = getattr(stepper, "_cache_size", lambda: -1)()
-            _t0 = _time.perf_counter()
-            with self.timer.phase("train_step"):
-                if tile_mode:
-                    res = stepper(
-                        prev_state,
-                        prev_adam,
-                        kf.camera_matrices(s.z_near, s.z_far),
-                        gt,
-                        mask,
-                        bg,
-                        jnp.int32(self.iteration),
-                        jnp.float32(self.spatial_lr_scale),
-                        live,
-                        ash,
-                    )
-                else:
-                    res = stepper(
-                        prev_state,
-                        prev_adam,
-                        kf.camera_matrices(s.z_near, s.z_far),
-                        gt,
-                        mask,
-                        bg,
-                        jnp.int32(self.iteration),
-                        jnp.float32(self.spatial_lr_scale),
-                        cfg,
-                        static_opt,
-                        accumulate_stats=accumulate,
-                        active_sh_degree=ash,
-                        live=live,
-                        binning_cache=use_cache,
-                        export_binning_cache=export_cache,
-                    )
-            if export_cache:
-                self.state, self.adam, metrics, built_cache = res
-            else:
-                self.state, self.adam, metrics = res
-            if getattr(stepper, "_cache_size", lambda: -1)() > _pre_sz:
-                self.compile_count += 1
-                self.compile_wall += _time.perf_counter() - _t0
-            # One bundled host fetch per step (the loss read below was a
-            # sync point anyway). total_pairs > max_pairs means binning
-            # DROPPED pairs this step (sentinel overflow design,
-            # ops/binning.py) — the frame and its gradients are wrong, so
-            # grow the capacity and redo the step from the pre-step state
-            # (the reference reallocates its binning buffer instead,
-            # rasterize_points.cu:28-36).
-            loss, psnr_v, count_v, total_pairs = (
-                np.asarray(x).item()
-                for x in jax.device_get(
-                    (metrics.loss, metrics.psnr, metrics.count, metrics.total_pairs)
+                (loss, psnr_v, count_v, total_pairs), cfg = self._tile_dispatch(
+                    kf, gt, mask, h, w, iteration
                 )
-            )
+            else:
+                rec = self._dispatch_train_step(kf, level, h, w, gt, mask, iteration)
+                cfg = rec["cfg"]
+                loss, psnr_v, count_v, total_pairs = self._fetch_metrics(
+                    rec["metrics"]
+                )
             self._autosize_pairs(total_pairs)
             if total_pairs <= cfg.max_pairs:
-                if export_cache:
-                    self._bin_cache[rk] = {
-                        "cache": built_cache,
-                        "uses": 0,
-                        "capacity": self.state.capacity,
-                        "max_pairs": cfg.max_pairs,
-                        "hw": (h, w),
-                    }
-                    while len(self._bin_cache) > 32:  # bound HBM held by caches
-                        self._bin_cache.pop(next(iter(self._bin_cache)))
-                elif use_cache is not None:
-                    self._bin_cache[rk]["uses"] += 1
+                if not tile_mode:
+                    self._commit_bin_cache(rec)
                 break
             if self.max_pairs <= cfg.max_pairs:
                 # capacity cannot grow (autosizing disabled or already at
                 # size): keep the frame but say so — its pairs were dropped
                 print(
                     f"[mapper] WARNING: pair overflow at iter "
-                    f"{self.iteration} ({total_pairs} > {cfg.max_pairs}) "
+                    f"{iteration} ({total_pairs} > {cfg.max_pairs}) "
                     "with pair autosizing disabled; frame rendered with "
                     "dropped splats"
                 )
                 break
             print(
-                f"[mapper] WARNING: pair overflow at iter {self.iteration} "
+                f"[mapper] WARNING: pair overflow at iter {iteration} "
                 f"({total_pairs} > {cfg.max_pairs}); growing to "
                 f"{self.max_pairs} and re-rendering"
             )
-            cfg = self._raster_cfg(h, w)
-        self._last_kf = kf
+            self.state, self.adam = prev_state, prev_adam
         return loss, psnr_v, count_v, total_pairs
+
+    def _dispatch_train_step(self, kf, level, h, w, gt, mask, iteration) -> dict:
+        """Dispatch ONE single-device train step (no host fetch) and return
+        its in-flight record. Shared by the synchronous and pipelined paths."""
+        import time as _time
+
+        s = self.settings
+        cfg = self._raster_cfg(h, w)
+        rk = (kf.fid, level)
+        # Cross-step binning persistence: reuse this (keyframe, level)'s
+        # frozen pair permutation for up to rebin_interval-1 re-renders;
+        # rebuild (and snapshot) otherwise. Pallas-path-only; rebuilt
+        # whenever capacity/pair-budget/resolution changed underneath.
+        use_cache, export_cache = None, False
+        if s.rebin_interval > 1 and cfg.use_pallas() and cfg.pallas_group > 1:
+            ent = self._bin_cache.get(rk)
+            if (
+                ent is not None
+                and ent["uses"] < s.rebin_interval - 1
+                and ent["capacity"] == self.state.capacity
+                and ent["max_pairs"] == cfg.max_pairs
+                and ent["hw"] == (h, w)
+            ):
+                use_cache = ent["cache"]
+            else:
+                export_cache = True
+
+        accumulate = iteration < s.opt.densify_until_iter
+        static_opt, live = self._static_opt_and_live()
+        prev_state, prev_adam = self.state, self.adam
+        _pre_sz = getattr(train_step, "_cache_size", lambda: -1)()
+        _t0 = _time.perf_counter()
+        with self.timer.phase("train_step"):
+            res = train_step(
+                prev_state,
+                prev_adam,
+                kf.camera_matrices(s.z_near, s.z_far),
+                gt,
+                mask,
+                self._bg_device(),
+                jnp.int32(iteration),
+                self._slr_device(),
+                cfg,
+                static_opt,
+                accumulate_stats=accumulate,
+                active_sh_degree=self._ash_device(),
+                live=live,
+                binning_cache=use_cache,
+                export_binning_cache=export_cache,
+            )
+        built_cache = None
+        if export_cache:
+            self.state, self.adam, metrics, built_cache = res
+        else:
+            self.state, self.adam, metrics = res
+        if getattr(train_step, "_cache_size", lambda: -1)() > _pre_sz:
+            self.compile_count += 1
+            self.compile_wall += _time.perf_counter() - _t0
+        # Start the D2H of this step's metrics now so a later (pipelined)
+        # read finds them already landed: a blocking read of an in-flight
+        # scalar costs ~30 ms of relay round-trip, of a landed one ~0.01 ms
+        # (benchmarks/relay_probe.py).
+        for x in (metrics.loss, metrics.psnr, metrics.count, metrics.total_pairs):
+            try:
+                x.copy_to_host_async()
+            except Exception:  # backends without async host copies
+                pass
+        return {
+            "kf": kf, "level": level, "h": h, "w": w, "gt": gt, "mask": mask,
+            "cfg": cfg, "rk": rk, "iteration": iteration,
+            "pre_state": prev_state, "pre_adam": prev_adam,
+            "export_cache": export_cache, "used_cache": use_cache is not None,
+            "built_cache": built_cache, "capacity": self.state.capacity,
+            "metrics": metrics, "gen": self._state_gen,
+        }
+
+    def _tile_dispatch(self, kf, gt, mask, h, w, iteration):
+        """One tile-banded (mesh_axis='tile') step + blocking fetch."""
+        import time as _time
+
+        s = self.settings
+        cfg = self._raster_cfg(h, w)
+        accumulate = iteration < s.opt.densify_until_iter
+        static_opt, live = self._static_opt_and_live()
+        skey = (cfg, static_opt, accumulate)
+        stepper = self._tile_steps.get(skey)
+        if stepper is None:
+            from ..parallel.tile_sharding import make_tile_sharded_train_step
+
+            stepper, _ = make_tile_sharded_train_step(
+                self.mesh, cfg, static_opt,
+                axis=self.mesh.axis_names[0],
+                accumulate_stats=accumulate,
+            )
+            self._tile_steps[skey] = stepper
+        _pre_sz = getattr(stepper, "_cache_size", lambda: -1)()
+        _t0 = _time.perf_counter()
+        with self.timer.phase("train_step"):
+            self.state, self.adam, metrics = stepper(
+                self.state,
+                self.adam,
+                kf.camera_matrices(s.z_near, s.z_far),
+                gt,
+                mask,
+                self._bg_device(),
+                jnp.int32(iteration),
+                self._slr_device(),
+                live,
+                self._ash_device(),
+            )
+        if getattr(stepper, "_cache_size", lambda: -1)() > _pre_sz:
+            self.compile_count += 1
+            self.compile_wall += _time.perf_counter() - _t0
+        return self._fetch_metrics(metrics), cfg
+
+    def _commit_bin_cache(self, rec: dict) -> None:
+        if rec["export_cache"] and rec["built_cache"] is not None:
+            self._bin_cache[rec["rk"]] = {
+                "cache": rec["built_cache"],
+                "uses": 0,
+                "capacity": rec["capacity"],
+                "max_pairs": rec["cfg"].max_pairs,
+                "hw": (rec["h"], rec["w"]),
+            }
+            while len(self._bin_cache) > 32:  # bound HBM held by caches
+                self._bin_cache.pop(next(iter(self._bin_cache)))
+        elif rec["used_cache"]:
+            ent = self._bin_cache.get(rec["rk"])
+            if ent is not None:
+                ent["uses"] += 1
+
+    @staticmethod
+    def _fetch_metrics(metrics):
+        return tuple(
+            np.asarray(x).item()
+            for x in jax.device_get(
+                (metrics.loss, metrics.psnr, metrics.count, metrics.total_pairs)
+            )
+        )
+
+    def _resolve_one_pending(self) -> None:
+        """Resolve the oldest in-flight step: fetch its metrics, autosize,
+        and — on a pair overflow — restore its pre-step state and replay it
+        plus every later in-flight step synchronously (the same lossless
+        semantics as the synchronous redo loop, one resolve later)."""
+        rec = self._pending.pop(0)
+        loss, psnr_v, count_v, total_pairs = self._fetch_metrics(rec["metrics"])
+        self._autosize_pairs(total_pairs)
+        mp = rec["cfg"].max_pairs
+        if total_pairs > mp:
+            self._bin_cache.pop(rec["rk"], None)  # built from dropped pairs
+            if self.max_pairs > mp and rec["gen"] != self._state_gen:
+                # State was mutated out-of-stream (ingest/densify/pose)
+                # after this dispatch: restoring its pre-step state would
+                # discard that mutation. Accept the dropped-pairs frame —
+                # the grown pair budget protects the following steps.
+                print(
+                    f"[mapper] WARNING: pair overflow at iter "
+                    f"{rec['iteration']} ({total_pairs} > {mp}) resolved "
+                    "after a state mutation; frame kept with dropped "
+                    f"splats, budget grown to {self.max_pairs}"
+                )
+            elif self.max_pairs > mp:
+                later = list(self._pending)
+                self._pending = []
+                print(
+                    f"[mapper] WARNING: pair overflow at iter "
+                    f"{rec['iteration']} ({total_pairs} > {mp}); growing to "
+                    f"{self.max_pairs} and replaying {1 + len(later)} "
+                    "in-flight steps"
+                )
+                self.state, self.adam = rec["pre_state"], rec["pre_adam"]
+                self._invalidate_binning_caches()
+                for r in [rec] + later:
+                    out = self._sync_step(
+                        r["kf"], r["level"], r["h"], r["w"], r["gt"],
+                        r["mask"], False, r["iteration"],
+                    )
+                    self._consume_metrics(r["iteration"], *out, kf=r["kf"])
+                return
+            else:
+                print(
+                    f"[mapper] WARNING: pair overflow at iter "
+                    f"{rec['iteration']} ({total_pairs} > {mp}) with pair "
+                    "autosizing disabled; frame rendered with dropped splats"
+                )
+        self._consume_metrics(
+            rec["iteration"], loss, psnr_v, count_v, total_pairs, kf=rec["kf"]
+        )
+
+    def flush_metrics(self) -> None:
+        """Resolve every in-flight pipelined step (metrics_pipeline_depth).
+        Called before any host action that reads or mutates the model state
+        (densify cadence, ingest, pose updates, checkpointing, loads)."""
+        while self._pending:
+            self._resolve_one_pending()
 
     def _static_opt_and_live(self):
         """Live-mutable hyperparameters travel as traced scalars; the static
@@ -585,12 +810,17 @@ class GaussianMapper:
         import dataclasses as _dc
 
         s = self.settings
-        live = LiveOptValues.from_opt(s.opt)
-        static_opt = _dc.replace(
-            s.opt,
-            position_lr_init=0.0, feature_lr=0.0, opacity_lr=0.0,
-            scaling_lr=0.0, rotation_lr=0.0, lambda_dssim=0.0,
-        )
+        live = self._live_device()
+        static_opt = self._static_opt_cache.get(id(s.opt))
+        if static_opt is None:
+            static_opt = _dc.replace(
+                s.opt,
+                position_lr_init=0.0, feature_lr=0.0, opacity_lr=0.0,
+                scaling_lr=0.0, rotation_lr=0.0, lambda_dssim=0.0,
+            )
+            if len(self._static_opt_cache) > 8:
+                self._static_opt_cache.clear()
+            self._static_opt_cache[id(s.opt)] = static_opt
         return static_opt, live
 
     def _sharded_step_phase(self):
@@ -659,29 +889,25 @@ class GaussianMapper:
                 # (gaus_pyramid_undistort_mask_, camera.h:103-105)
                 masks = jnp.stack(
                     [
-                        jnp.asarray(kf.pyramid_masks[level])
+                        self._mask_device(kf, level, n_levels)
                         if kf.pyramid_masks
-                        else jnp.ones((h, w), jnp.float32)
+                        else self._ones_mask_device(h, w)
                         for kf in kfs
                     ]
                 )
         elif any(kf.mask is not None for kf in kfs):
             masks = jnp.stack(
                 [
-                    jnp.asarray(kf.mask)
+                    self._mask_device(kf, level, n_levels)
                     if kf.mask is not None
-                    else jnp.ones((h, w), jnp.float32)
+                    else self._ones_mask_device(h, w)
                     for kf in kfs
                 ]
             )
-        bg = jnp.ones(3) if s.model.white_background else jnp.zeros(3)
+        bg = self._bg_device()
         accumulate = self.iteration < s.opt.densify_until_iter
         static_opt, live = self._static_opt_and_live()
-        ash = (
-            None
-            if self.active_sh_degree is None
-            else jnp.int32(self.active_sh_degree)
-        )
+        ash = self._ash_device()
         cams = batch_cameras(
             [kf.camera_matrices(s.z_near, s.z_far) for kf in kfs]
         )
@@ -709,7 +935,7 @@ class GaussianMapper:
                     masks,
                     bg,
                     jnp.int32(self.iteration),
-                    jnp.float32(self.spatial_lr_scale),
+                    self._slr_device(),
                     live,
                     ash,
                 )
@@ -742,15 +968,42 @@ class GaussianMapper:
         return loss, psnr_v, count_v, total_pairs
 
     def _post_step_phase(self, loss, psnr_v, count_v, total_pairs) -> dict:
+        self._cadence_phase(self.iteration)
+        return self._consume_metrics(
+            self.iteration, loss, psnr_v, count_v, total_pairs
+        )
+
+    def _cadence_due(self, iteration: int) -> bool:
+        """Would _cadence_phase mutate state at this iteration?"""
         s = self.settings
-        if self.iteration < s.opt.densify_until_iter:
+        if iteration >= s.opt.densify_until_iter:
+            return False
+        if (
+            iteration > s.opt.densify_from_iter
+            and s.opt.densification_interval
+            and iteration % s.opt.densification_interval == 0
+        ):
+            return True
+        return (
+            s.opt.opacity_reset_interval
+            and iteration % s.opt.opacity_reset_interval == 0
+        ) or (
+            s.model.white_background and iteration == s.opt.densify_from_iter
+        )
+
+    def _cadence_phase(self, iteration: int) -> None:
+        """State-mutating per-iteration cadence: densify/prune surgery and
+        opacity reset (trainForOneIteration :449-461). Depends only on the
+        iteration number, never on that step's metrics."""
+        s = self.settings
+        if iteration < s.opt.densify_until_iter:
             if (
-                self.iteration > s.opt.densify_from_iter
+                iteration > s.opt.densify_from_iter
                 and s.opt.densification_interval
-                and self.iteration % s.opt.densification_interval == 0
+                and iteration % s.opt.densification_interval == 0
             ):
                 size_threshold = (
-                    20 if self.iteration > s.prune_big_point_after_iter else 0
+                    20 if iteration > s.prune_big_point_after_iter else 0
                 )
                 self._ensure_capacity(int(self.state.count) // 2)
                 # Lossless surgery like the reference's dynamic realloc:
@@ -776,13 +1029,13 @@ class GaussianMapper:
                         print(
                             f"[mapper] WARNING: densify still dropped "
                             f"{dropped} gaussians after repeated capacity "
-                            f"growth at iter {self.iteration}; accepting "
+                            f"growth at iter {iteration}; accepting "
                             "the lossy surgery"
                         )
                         break
                     print(
                         f"[mapper] WARNING: densify needs {dropped} more "
-                        f"slots at iter {self.iteration}; growing capacity "
+                        f"slots at iter {iteration}; growing capacity "
                         "and redoing the surgery"
                     )
                     target = self.state.capacity + dropped
@@ -797,23 +1050,30 @@ class GaussianMapper:
             # white-background runs exactly when iteration == densify_from.
             if (
                 s.opt.opacity_reset_interval
-                and self.iteration % s.opt.opacity_reset_interval == 0
+                and iteration % s.opt.opacity_reset_interval == 0
             ) or (
                 s.model.white_background
-                and self.iteration == s.opt.densify_from_iter
+                and iteration == s.opt.densify_from_iter
             ):
                 self.state, self.adam = reset_opacity(self.state, self.adam)
                 self._invalidate_binning_caches()
 
+    def _consume_metrics(
+        self, iteration, loss, psnr_v, count_v, total_pairs, kf=None
+    ) -> dict:
+        """Metrics-side post-step work (ema, report, image recording).
+        Runs immediately in synchronous mode; at resolve time — in step
+        order — when pipelined."""
+        s = self.settings
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
         if s.training_report_interval and (
-            self.iteration % s.training_report_interval == 0
+            iteration % s.training_report_interval == 0
         ):
             import time as _time
 
             wall = max(_time.perf_counter() - self._wall_start, 1e-9)
             print(
-                f"[mapper] iter {self.iteration}: ema_loss {self.ema_loss:.5f} "
+                f"[mapper] iter {iteration}: ema_loss {self.ema_loss:.5f} "
                 f"points {count_v} pairs {total_pairs} "
                 f"compiles {self.compile_count} "
                 f"({self.compile_wall:.1f}s, {100 * self.compile_wall / wall:.0f}% of wall) "
@@ -822,15 +1082,16 @@ class GaussianMapper:
         if (
             self.result_dir
             and s.keyframe_record_interval
-            and self.iteration % s.keyframe_record_interval == 0
+            and iteration % s.keyframe_record_interval == 0
         ):
-            self._record_keyframe_images(self._last_kf)
-        return {
+            self._record_keyframe_images(kf or self._last_kf)
+        self._last_resolved = {
             "loss": loss,
             "psnr": psnr_v,
             "count": int(count_v),
             "total_pairs": int(total_pairs),
         }
+        return self._last_resolved
 
     # ------------------------------------------------------- SLAM-mode feed
     def feed_keyframe(
@@ -1133,6 +1394,7 @@ class GaussianMapper:
         iteration counter — a deliberate capability extension over the
         reference, whose PLY checkpoints drop Adam moments and the iteration
         (gaussian_model.cpp:861-954; loadPly resumes view-only)."""
+        self.flush_metrics()  # an in-flight overflow replay must land first
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         blobs = {f"state.{k}": np.asarray(v) for k, v in self.state.params().items()}
@@ -1160,6 +1422,7 @@ class GaussianMapper:
         np.savez_compressed(path, **blobs)
 
     def load_checkpoint(self, path: str | Path) -> None:
+        self.flush_metrics()
         z = np.load(path)
         params = {k.split(".", 1)[1]: jnp.asarray(z[k]) for k in z.files if k.startswith("state.") and k.split(".", 1)[1] in ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation")}
         cap = params["xyz"].shape[0]
@@ -1222,6 +1485,7 @@ class GaussianMapper:
     def save_ply(self, out_dir: str | Path | None = None) -> Path:
         """savePly (:659-755): point_cloud/iteration_N/point_cloud.ply +
         cameras.json + cfg_args, 3DGS-viewer compatible."""
+        self.flush_metrics()  # an in-flight overflow replay must land first
         base = Path(out_dir or self.result_dir)
         it_dir = base / "point_cloud" / f"iteration_{self.iteration}"
         n = int(self.state.count)
@@ -1296,6 +1560,7 @@ class GaussianMapper:
     def load_ply(self, ply_path: str | Path) -> None:
         """loadPly (:984-1059): view-only restore (no optimizer state, like
         the reference)."""
+        self.flush_metrics()
         xyz, dc, rest, opacity, scaling, rotation = ply_dict_to_gaussians(
             read_ply(ply_path)
         )

@@ -83,6 +83,24 @@ class MapperSettings:
     # staleness is bounded to sub-pixel parameter drift; quality impact is
     # measured in benchmarks/quality.py --rebin (see QUALITY.md).
     rebin_interval: int = 1
+    # Pipelined metrics fetch (TPU extension, docs/PERF.md): keep up to N
+    # train steps in flight before blocking on their metrics. Over this
+    # sandbox's TPU relay a blocking read of an in-flight result costs
+    # ~30 ms of round-trip on top of device time (benchmarks/relay_probe.py:
+    # step_fetched 32 ms vs step_pipelined2 10 ms for a 1 ms step); depth 2
+    # hides most of it. Overflow handling becomes deferred: the pre-step
+    # state of each in-flight step is retained and the affected steps are
+    # replayed if a pair overflow surfaces (same lossless semantics as the
+    # synchronous redo loop, one resolve later). 0 = synchronous (the
+    # reference's semantics — it reads loss.item() every iteration,
+    # gaussian_mapper.cpp:437). Memory cost: depth+1 retained state/Adam
+    # versions (~708 B/gaussian each).
+    metrics_pipeline_depth: int = 0
+    # Device-resident ground-truth/mask image cache budget, in bytes. The
+    # relay uploads ~14 MB/s (relay_probe.py h2d_10MB: 719 ms), so evicting
+    # a keyframe's gt that will be re-sampled costs more than holding every
+    # level of every keyframe on-chip. 0 disables the bound.
+    gt_cache_bytes: int = 4 << 30
 
     @staticmethod
     def from_yaml(path: str | Path) -> "MapperSettings":
@@ -154,4 +172,6 @@ class MapperSettings:
             presize_max_pairs=int(g("Mapper.presize_max_pairs", 0)),
             auto_size_pairs_setting=int(g("Mapper.auto_size_pairs", 1)),
             rebin_interval=int(g("Mapper.rebin_interval", 1)),
+            metrics_pipeline_depth=int(g("Mapper.metrics_pipeline_depth", 0)),
+            gt_cache_bytes=int(g("Mapper.gt_cache_bytes", 4 << 30)),
         )
