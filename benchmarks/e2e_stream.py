@@ -51,17 +51,17 @@ def run_stream(
         new_keyframe_times_of_use=3,
         metrics_pipeline_depth=pipeline,
         do_inactive_geo_densify=False,
-        # 47*16k covers the early-stream pair peak (~640k: fresh splats are
-        # large until their scales optimize down); autosizing stays ON so a
-        # rare overshoot grows instead of dropping splats — exactly the
-        # production mapper behavior, and the compile counter records what
-        # that behavior costs.
-        # capacity presized to the stream's FINAL count (~600k after 60
-        # frames of dedup'd 51k-point clouds): a mid-run capacity doubling
+        # Budgets sized to the MEASURED 60-frame workload (every pipeline
+        # stage scales with the static budget, not the live count): live
+        # pairs peak ~510k -> 37*16k with the mapper's 1.15x slack;
+        # gaussians end at ~428k -> 2^19 capacity (81% full). Autosizing
+        # stays ON so an overshoot grows instead of dropping splats —
+        # exactly the production mapper behavior, and the compile counter
+        # records what that behavior costs. A mid-run capacity doubling
         # recompiles every per-gaussian program at the new shape — minutes
-        # over a TPU relay, exactly the cascade this knob exists to avoid
-        presize_capacity=(1 << 20) if presize else 0,
-        presize_max_pairs=(47 * 16384) if presize else 0,
+        # over a TPU relay, exactly the cascade presizing avoids.
+        presize_capacity=(1 << 19) if presize else 0,
+        presize_max_pairs=(37 * 16384) if presize else 0,
     )
     mapper = GaussianMapper(settings=settings, ingest_capacity=1 << 16)
     fov = np.pi / 2

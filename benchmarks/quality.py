@@ -38,6 +38,7 @@ def run_quality(
     hard: bool = False,
     mesh=None,
     rebin_interval: int = 1,
+    pipeline: int = 0,
 ):
     import jax.numpy as jnp
 
@@ -59,6 +60,7 @@ def run_quality(
         new_keyframe_times_of_use=times_of_use,
         do_inactive_geo_densify=False,  # RGB-D mode: dense depth available
         rebin_interval=rebin_interval,
+        metrics_pipeline_depth=pipeline,
     )
     mapper = GaussianMapper(
         settings=settings, capacity=capacity, max_pairs=max_pairs,
@@ -87,6 +89,7 @@ def run_quality(
                 f"iter {mapper.iteration}: loss {out['loss']:.4f} "
                 f"train-psnr {out['psnr']:.2f} points {out['count']}"
             )
+    mapper.flush_metrics()  # resolve in-flight pipelined steps before eval
     train_s = time.time() - t0
 
     from benchmarks.synthetic_room import raycast_room
@@ -141,6 +144,11 @@ def main():
                     help="Mapper.rebin_interval: reuse each (keyframe, "
                     "level) binning for N-1 re-renders (docs/PERF.md "
                     "cross-step persistence; 1 = reference semantics)")
+    ap.add_argument("--pipeline", type=int, default=0,
+                    help="Mapper.metrics_pipeline_depth: keep N steps in "
+                    "flight before blocking on metrics (0 = reference-"
+                    "synchronous; trajectory is identical either way, "
+                    "tests/test_pipeline.py)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.res.split("x"))
 
@@ -154,7 +162,7 @@ def main():
     res = run_quality(args.frames, w, h, args.iterations,
                       capacity=args.capacity, max_pairs=args.max_pairs,
                       hard=not args.easy, mesh=mesh,
-                      rebin_interval=args.rebin)
+                      rebin_interval=args.rebin, pipeline=args.pipeline)
     if args.mesh:
         res["mesh_devices"] = args.mesh
     res["platform"] = jax.default_backend()
