@@ -38,6 +38,7 @@ def run_quality(
     hard: bool = False,
     mesh=None,
     rebin_interval: int = 1,
+    rebin_after: int = 0,
     pipeline: int = 0,
 ):
     import jax.numpy as jnp
@@ -60,6 +61,7 @@ def run_quality(
         new_keyframe_times_of_use=times_of_use,
         do_inactive_geo_densify=False,  # RGB-D mode: dense depth available
         rebin_interval=rebin_interval,
+        rebin_interval_after_densify=rebin_after,
         metrics_pipeline_depth=pipeline,
     )
     mapper = GaussianMapper(
@@ -119,6 +121,8 @@ def run_quality(
         "compiles": mapper.compile_count,
         "compile_wall_s": round(mapper.compile_wall, 1),
         "rebin_interval": rebin_interval,
+        "rebin_interval_after_densify": rebin_after,
+        "metrics_pipeline_depth": pipeline,
     }
 
 
@@ -144,6 +148,10 @@ def main():
                     help="Mapper.rebin_interval: reuse each (keyframe, "
                     "level) binning for N-1 re-renders (docs/PERF.md "
                     "cross-step persistence; 1 = reference semantics)")
+    ap.add_argument("--rebin-after", type=int, default=0,
+                    help="Mapper.rebin_interval_after_densify: longer "
+                    "cached-binning cadence once densification stops "
+                    "(0 = same as --rebin)")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="Mapper.metrics_pipeline_depth: keep N steps in "
                     "flight before blocking on metrics (0 = reference-"
@@ -162,7 +170,8 @@ def main():
     res = run_quality(args.frames, w, h, args.iterations,
                       capacity=args.capacity, max_pairs=args.max_pairs,
                       hard=not args.easy, mesh=mesh,
-                      rebin_interval=args.rebin, pipeline=args.pipeline)
+                      rebin_interval=args.rebin, rebin_after=args.rebin_after,
+                      pipeline=args.pipeline)
     if args.mesh:
         res["mesh_devices"] = args.mesh
     res["platform"] = jax.default_backend()

@@ -620,11 +620,17 @@ class GaussianMapper:
         # rebuild (and snapshot) otherwise. Pallas-path-only; rebuilt
         # whenever capacity/pair-budget/resolution changed underneath.
         use_cache, export_cache = None, False
-        if s.rebin_interval > 1 and cfg.use_pallas() and cfg.pallas_group > 1:
+        rebin = s.rebin_interval
+        if s.rebin_interval_after_densify and iteration >= s.opt.densify_until_iter:
+            # Staged persistence: post-densification the gaussian set is
+            # frozen and drift is one small Adam step per use, so frozen
+            # permutations stay accurate far longer (settings.py).
+            rebin = s.rebin_interval_after_densify
+        if rebin > 1 and cfg.use_pallas() and cfg.pallas_group > 1:
             ent = self._bin_cache.get(rk)
             if (
                 ent is not None
-                and ent["uses"] < s.rebin_interval - 1
+                and ent["uses"] < rebin - 1
                 and ent["capacity"] == self.state.capacity
                 and ent["max_pairs"] == cfg.max_pairs
                 and ent["hw"] == (h, w)

@@ -83,6 +83,13 @@ class MapperSettings:
     # staleness is bounded to sub-pixel parameter drift; quality impact is
     # measured in benchmarks/quality.py --rebin (see QUALITY.md).
     rebin_interval: int = 1
+    # Staged persistence: a separate (usually longer) rebin interval for
+    # iterations AFTER opt.densify_until_iter. Post-densification the
+    # gaussian set is frozen and per-step Adam drift is small, so frozen
+    # pair permutations stay accurate far longer than during the
+    # high-drift densification phase (quality measured in QUALITY_REBIN.
+    # json). 0 = use rebin_interval everywhere.
+    rebin_interval_after_densify: int = 0
     # Pipelined metrics fetch (TPU extension, docs/PERF.md): keep up to N
     # train steps in flight before blocking on their metrics. Over this
     # sandbox's TPU relay a blocking read of an in-flight result costs
@@ -172,6 +179,9 @@ class MapperSettings:
             presize_max_pairs=int(g("Mapper.presize_max_pairs", 0)),
             auto_size_pairs_setting=int(g("Mapper.auto_size_pairs", 1)),
             rebin_interval=int(g("Mapper.rebin_interval", 1)),
+            rebin_interval_after_densify=int(
+                g("Mapper.rebin_interval_after_densify", 0)
+            ),
             metrics_pipeline_depth=int(g("Mapper.metrics_pipeline_depth", 0)),
             gt_cache_bytes=int(g("Mapper.gt_cache_bytes", 4 << 30)),
         )

@@ -181,3 +181,49 @@ def test_cache_requires_grouped_pallas_path():
         assert "grouped Pallas" in str(e)
     else:  # pragma: no cover
         raise AssertionError("expected ValueError on the XLA path")
+
+
+def test_staged_rebin_after_densify():
+    """rebin_interval_after_densify: fresh binning every step while
+    densification is live (high drift), cached persistence only once
+    iteration >= densify_until_iter (frozen gaussian set, small drift)."""
+    from gsdf_slam_tpu.config import OptimizationParams
+    from gsdf_slam_tpu.data import CameraIntrinsics
+    from gsdf_slam_tpu.engine import GaussianMapper, MapperSettings
+
+    from test_mapper import FakeLoader, make_frames
+
+    frames = make_frames(n=1, hw=(32, 32))
+    h, w = 32, 32
+    intr = CameraIntrinsics(
+        fx=w / 2, fy=w / 2, cx=w / 2 - 0.5, cy=h / 2 - 0.5, width=w, height=h
+    )
+    settings = MapperSettings(
+        opt=OptimizationParams(
+            densification_interval=0, densify_from_iter=0,
+            densify_until_iter=4, opacity_reset_interval=0,
+        ),
+        new_keyframe_times_of_use=100,
+        rebin_interval=1,                 # fresh during densification
+        rebin_interval_after_densify=3,   # cached persistence after
+    )
+    m = GaussianMapper(
+        settings=settings, dataloader=FakeLoader(frames, intr),
+        capacity=512, max_pairs=4096, ingest_capacity=128,
+        backend="pallas",
+    )
+    m.ingest_frame(0, frames[0])
+    for _ in range(3):  # iterations 1-3: densification phase
+        m.train_for_one_iteration()
+        assert not m._bin_cache, "cache built during the fresh phase"
+    reused = 0
+    for _ in range(6):  # iterations 4-9: staged persistence active
+        pre = {k: v["uses"] for k, v in m._bin_cache.items()}
+        r = m.train_for_one_iteration()
+        assert np.isfinite(r["loss"])
+        reused += sum(
+            v["uses"] > pre.get(k, 0) for k, v in m._bin_cache.items()
+        )
+    assert m._bin_cache, "no cache in the post-densify phase"
+    assert reused >= 3, "staged cadence never reused a binning cache"
+    assert all(v["uses"] < 3 for v in m._bin_cache.values())
