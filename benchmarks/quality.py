@@ -206,9 +206,10 @@ gradients on replicated state (`GaussianMapper(mesh=...)`).
         md_path.write_text(base)
         print("wrote QUALITY_MESH.json + QUALITY.md mesh section")
         return
-    if args.rebin > 1:
-        # rebin evidence is a SEPARATE artifact: the committed baseline
-        # stays the reference-semantics (rebin=1) number
+    if args.rebin > 1 or args.rebin_after > 1:
+        # rebin evidence (flat or staged cadence) is a SEPARATE artifact:
+        # the committed baseline stays the reference-semantics (rebin=1,
+        # rebin_after=0) number
         (root / "QUALITY_REBIN.json").write_text(json.dumps(res, indent=2) + "\n")
         print("wrote QUALITY_REBIN.json")
         return
@@ -250,15 +251,28 @@ evidence rather than a softball.
     if rebin_path.exists():
         rb = json.loads(rebin_path.read_text())
         if rb.get("resolution") == res["resolution"] and rb.get("scene") == res["scene"]:
+            ra = rb.get("rebin_interval_after_densify", 0)
+            cadence = (
+                f"`rebin_interval: {rb['rebin_interval']}` + "
+                f"`rebin_interval_after_densify: {ra}` (fresh bins while "
+                f"densifying, cached cadence {ra} after — the staged "
+                f"production mode)"
+                if ra > 1
+                else f"`rebin_interval: {rb['rebin_interval']}` (each "
+                f"keyframe's pair permutation reused for "
+                f"{rb['rebin_interval'] - 1} re-renders)"
+            )
             md += f"""
 ## Cross-step binning persistence (QUALITY_REBIN.json)
 
-Same scene/config with `rebin_interval: {rb['rebin_interval']}` (each
-keyframe's pair permutation reused for {rb['rebin_interval'] - 1}
-re-renders, docs/PERF.md): **{rb['psnr_mean']:.2f} dB /
-{rb['ssim_mean']:.4f} SSIM** vs {res['psnr_mean']:.2f} /
-{res['ssim_mean']:.4f} at reference semantics (rebin 1) — wall time
-{rb['train_seconds']} s vs {res['train_seconds']} s.
+Same scene/config with {cadence}
+(docs/PERF.md): **{rb['psnr_mean']:.2f} dB / {rb['ssim_mean']:.4f} SSIM**
+vs {res['psnr_mean']:.2f} / {res['ssim_mean']:.4f} at reference semantics
+(rebin 1). Wall {rb['train_seconds']} s ({rb['compiles']} compiles,
+{rb['compile_wall_s']} s compile wall, pipeline depth
+{rb.get('metrics_pipeline_depth', 0)}) vs {res['train_seconds']} s
+({res['compiles']} compiles, {res['compile_wall_s']} s, depth
+{res.get('metrics_pipeline_depth', 0)}).
 """
     (root / "QUALITY.md").write_text(md)
     print("wrote QUALITY.md / QUALITY.json")
