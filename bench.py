@@ -36,11 +36,14 @@ CHUNK = 1024
 # kernel-shape sweep knobs (defaults = production config)
 PALLAS_CHUNK = int(os.environ.get("GSDF_BENCH_PALLAS_CHUNK", 128))
 PALLAS_GROUP = int(os.environ.get("GSDF_BENCH_PALLAS_GROUP", 8))
-# cross-step binning persistence cadence (engine/settings.py
-# rebin_interval): 1 fresh bin + N-1 cached re-renders per keyframe visit
-# block — the mapper's production default. 1 = re-bin every step
-# (reference semantics, rasterizer_impl.cu:456-500); quality delta of the
-# cadence is measured in QUALITY_REBIN.json.
+# cross-step binning persistence cadence (engine/settings.py): 1 fresh
+# bin + N-1 cached re-renders per keyframe visit block. The bench scene is
+# steady-state (no densification in flight), so the mapper's production
+# default is the staged post-densify cadence
+# (MapperSettings.rebin_interval_after_densify = 4). 1 = re-bin every step
+# (reference semantics, rasterizer_impl.cu:456-500; also reported as
+# iters_per_sec_fresh_binning); quality delta of the cadence is measured
+# in QUALITY_REBIN.json (0.12 dB).
 REBIN_INTERVAL = int(os.environ.get("GSDF_BENCH_REBIN", 0)) or None
 WARMUP = 3
 ITERS = 20
@@ -138,7 +141,8 @@ def main():
     from gsdf_slam_tpu.engine.settings import MapperSettings
 
     state, adam = build_scene()
-    rebin = REBIN_INTERVAL or MapperSettings().rebin_interval
+    st = MapperSettings()
+    rebin = REBIN_INTERVAL or st.rebin_interval_after_densify or st.rebin_interval
     ips, ips_fresh, pairs = measure(state, adam, WIDTH, HEIGHT, rebin)
 
     detail = {
