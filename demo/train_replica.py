@@ -36,11 +36,18 @@ def main():
         "0 = single device.",
     )
     ap.add_argument(
-        "--mesh-axis", choices=("view", "tile"), default="view",
+        "--mesh-axis", choices=("view", "tile", "view_tile"), default="view",
         help="mesh parallelism axis: 'view' batches N keyframes per "
         "iteration (throughput; parallel/sharding.py), 'tile' keeps the "
         "1-view schedule and splits each render into tile-row bands "
-        "(latency; parallel/tile_sharding.py)",
+        "(latency; parallel/tile_sharding.py), 'view_tile' composes both "
+        "on a 2-D mesh — set --mesh-bands for the tile-axis size "
+        "(parallel/view_tile_sharding.py)",
+    )
+    ap.add_argument(
+        "--mesh-bands", type=int, default=2, metavar="B",
+        help="with --mesh-axis view_tile: tile-axis size; the mesh is "
+        "(N//B views) x (B bands)",
     )
     args = ap.parse_args()
 
@@ -69,11 +76,23 @@ def main():
                 f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
                 f"device_count={args.mesh})"
             )
-        mesh = Mesh(np.array(devs[: args.mesh]), ("dp",))
-        kind = (
-            "view-parallel" if args.mesh_axis == "view"
-            else "tile-sharded (band-parallel)"
-        )
+        if args.mesh_axis == "view_tile":
+            from gsdf_slam_tpu.parallel import make_view_tile_mesh
+
+            if args.mesh % args.mesh_bands:
+                raise SystemExit(
+                    f"--mesh {args.mesh} is not divisible by --mesh-bands "
+                    f"{args.mesh_bands}"
+                )
+            nv = args.mesh // args.mesh_bands
+            mesh = make_view_tile_mesh(nv, args.mesh_bands, devs)
+            kind = f"view x tile ({nv} views x {args.mesh_bands} bands)"
+        else:
+            mesh = Mesh(np.array(devs[: args.mesh]), ("dp",))
+            kind = (
+                "view-parallel" if args.mesh_axis == "view"
+                else "tile-sharded (band-parallel)"
+            )
         print(f"mesh mode: {args.mesh}-device {kind} training")
 
     loader = DataLoader(args.scene, "replica", cloud_stride=args.cloud_stride)

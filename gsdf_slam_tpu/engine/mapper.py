@@ -76,9 +76,18 @@ class GaussianMapper:
         mesh_axis: str = "view",  # "view" (throughput) | "tile" (latency)
         backend: str = "auto",  # RasterizeConfig.backend ("xla"/"pallas")
     ):
-        if mesh_axis not in ("view", "tile"):
+        if mesh_axis not in ("view", "tile", "view_tile"):
             raise ValueError(
-                f"mesh_axis must be 'view' or 'tile', got {mesh_axis!r}"
+                "mesh_axis must be 'view', 'tile' or 'view_tile', "
+                f"got {mesh_axis!r}"
+            )
+        if mesh_axis == "view_tile" and mesh is not None and (
+            getattr(mesh, "axis_names", None) != ("dp", "tile")
+        ):
+            raise ValueError(
+                "mesh_axis='view_tile' needs a 2-D mesh with axes "
+                "('dp', 'tile') — build one with "
+                f"parallel.make_view_tile_mesh; got {mesh.axis_names!r}"
             )
         self.backend = backend
         self.settings = settings or MapperSettings()
@@ -179,14 +188,17 @@ class GaussianMapper:
         # 172-204), built lazily at ingest when distortion is present.
         self._undistorters: dict[int, object] = {}
         self._feed_intrinsics = None  # intrinsics passed via feed_keyframe
-        # Multi-chip mode: a 1-D jax.sharding.Mesh plus an axis choice.
+        # Multi-chip mode: a jax.sharding.Mesh plus an axis choice.
         # mesh_axis="view" (throughput): every iteration is a view-parallel
         # batched step (n_devices keyframes, pmean'd grads over ICI —
         # parallel/sharding.py). mesh_axis="tile" (latency): the reference's
         # exact 1-view-per-iteration schedule, but each render is split into
         # tile-row bands across the chips (parallel/tile_sharding.py).
-        # Densify/prune and capacity growth run on the replicated state in
-        # both. SURVEY §5.8 design extension.
+        # mesh_axis="view_tile" (both): a 2-D ("dp","tile") mesh — one
+        # keyframe per view row, each render banded across the tile axis
+        # (parallel/view_tile_sharding.py). Densify/prune and capacity
+        # growth run on the replicated state in all modes. SURVEY §5.8
+        # design extension.
         self.mesh = mesh
         self.mesh_axis = mesh_axis
         self._sharded_steps: dict = {}
@@ -498,7 +510,7 @@ class GaussianMapper:
         1-view schedule but bands the render across the mesh."""
         if not self.initial_mapped:
             return None
-        if self.mesh is not None and self.mesh_axis == "view":
+        if self.mesh is not None and self.mesh_axis in ("view", "view_tile"):
             res = self._sharded_step_phase()
         else:
             res = self._single_step_phase()
@@ -840,9 +852,16 @@ class GaussianMapper:
         (gaussian_keyframe.cpp:234-246) is preserved; per-view level
         divergence is not — a per-view policy cannot batch across a mesh."""
         from ..parallel.sharding import batch_cameras, make_sharded_train_step
+        from ..parallel.view_tile_sharding import (
+            make_view_tile_sharded_train_step,
+        )
 
         s = self.settings
-        n_dev = int(self.mesh.devices.size)
+        # mesh_axis="view_tile": the batch is one keyframe per VIEW ROW of
+        # the 2-D mesh; each view's render is additionally banded across
+        # the tile axis (parallel/view_tile_sharding.py).
+        two_d = self.mesh_axis == "view_tile"
+        n_dev = int(self.mesh.shape["dp"] if two_d else self.mesh.devices.size)
         kfs = []
         for _ in range(n_dev):
             kf = self._use_one_random_sliding_window_keyframe()
@@ -926,7 +945,12 @@ class GaussianMapper:
             key = (cfg, static_opt, accumulate)
             step = self._sharded_steps.get(key)
             if step is None:
-                step, _ = make_sharded_train_step(
+                builder = (
+                    make_view_tile_sharded_train_step
+                    if two_d
+                    else make_sharded_train_step
+                )
+                step, _ = builder(
                     self.mesh, cfg, static_opt, accumulate_stats=accumulate
                 )
                 self._sharded_steps[key] = step

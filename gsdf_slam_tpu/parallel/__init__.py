@@ -7,3 +7,7 @@ from .param_sharding import (  # noqa: F401
 )
 from .sharding import make_sharded_train_step  # noqa: F401
 from .tile_sharding import make_tile_sharded_train_step  # noqa: F401
+from .view_tile_sharding import (  # noqa: F401
+    make_view_tile_mesh,
+    make_view_tile_sharded_train_step,
+)
