@@ -40,7 +40,7 @@ PALLAS_GROUP = int(os.environ.get("GSDF_BENCH_PALLAS_GROUP", 8))
 # bin + N-1 cached re-renders per keyframe visit block. The bench scene is
 # steady-state (no densification in flight), so the mapper's production
 # default is the staged post-densify cadence
-# (MapperSettings.rebin_interval_after_densify = 4). 1 = re-bin every step
+# (MapperSettings.rebin_interval_after_densify = 8). 1 = re-bin every step
 # (reference semantics, rasterizer_impl.cu:456-500; also reported as
 # iters_per_sec_fresh_binning); quality delta of the cadence is measured
 # in QUALITY_REBIN.json (0.12 dB).

@@ -140,6 +140,13 @@ def main():
                     help="round-2 scene (no occluders/specular/fine texture)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="view-parallel training over an N-device mesh")
+    ap.add_argument("--control", action="store_true",
+                    help="with --mesh: also run a single-device control at "
+                    "the IDENTICAL config (same frames/res/iterations) so "
+                    "the mesh number reads as a parity comparison rather "
+                    "than an absolute — per-step equivalence is pinned by "
+                    "tests/test_sharding.py; this shows the full-run "
+                    "trajectory lands at the same quality")
     ap.add_argument("--max-pairs", type=int, default=1 << 20,
                     help="fixed pair capacity (every binning stage scales "
                     "with it; size to ~1.3x the live peak for the chosen "
@@ -166,7 +173,17 @@ def main():
     if args.mesh:
         from jax.sharding import Mesh
 
-        mesh = Mesh(np.array(jax.devices()[: args.mesh]), ("dp",))
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {args.mesh} devices, have "
+                f"{len(devs)} on backend {jax.default_backend()!r}. For a "
+                "virtual CPU mesh run with PYTHONPATH= JAX_PLATFORMS=cpu "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={args.mesh} "
+                "(PYTHONPATH= disables this sandbox's axon sitecustomize, "
+                "which otherwise pins the TPU backend before argv parsing)"
+            )
+        mesh = Mesh(np.array(devs[: args.mesh]), ("dp",))
     res = run_quality(args.frames, w, h, args.iterations,
                       capacity=args.capacity, max_pairs=args.max_pairs,
                       hard=not args.easy, mesh=mesh,
@@ -179,6 +196,17 @@ def main():
 
     root = Path(__file__).resolve().parent.parent
     if args.mesh:
+        control = None
+        if args.control:
+            control = run_quality(
+                args.frames, w, h, args.iterations,
+                capacity=args.capacity, max_pairs=args.max_pairs,
+                hard=not args.easy, mesh=None,
+                rebin_interval=args.rebin, rebin_after=args.rebin_after,
+                pipeline=args.pipeline,
+            )
+            res["single_device_control"] = control
+            print(json.dumps(control))
         # mesh-mode evidence is a SEPARATE artifact: don't clobber the
         # committed single-chip number; append a mesh section to QUALITY.md
         (root / "QUALITY_MESH.json").write_text(json.dumps(res, indent=2) + "\n")
@@ -187,19 +215,24 @@ def main():
         marker = "\n## Mesh mode"
         if marker in base:
             base = base[: base.index(marker)]
+        ctl_cols = " | single-device control" if control else ""
+        def row(label, fmt, key):
+            c = f" | {fmt.format(control[key])}" if control else ""
+            return f"| {label} | {fmt.format(res[key])}{c} |"
         base += f"""
 ## Mesh mode (view-parallel, {args.mesh} devices)
 
-Command: `python benchmarks/quality.py --frames {args.frames} --res {args.res} --iterations {args.iterations} --mesh {args.mesh}` — each
+Command: `python benchmarks/quality.py --frames {args.frames} --res {args.res} --iterations {args.iterations} --mesh {args.mesh}{' --control' if args.control else ''}` — each
 iteration batches {args.mesh} keyframes under `shard_map` with `pmean`
 gradients on replicated state (`GaussianMapper(mesh=...)`).
+{'The control column is the SAME config on one device (same iteration count — the mesh run renders ' + str(args.mesh) + 'x the views per iteration); per-step equivalence to the mean-gradient step is pinned by tests/test_sharding.py.' if control else ''}
 
-| metric | value |
-|---|---|
-| held-out PSNR (mean over {res['n_eval_views']} views) | **{res['psnr_mean']:.2f} dB** |
-| held-out SSIM (mean) | **{res['ssim_mean']:.4f}** |
+| metric | mesh{ctl_cols} |
+|---|---|{'--|' if control else ''}
+{row('held-out PSNR (mean over %d views)' % res['n_eval_views'], '**{:.2f} dB**', 'psnr_mean')}
+{row('held-out SSIM (mean)', '**{:.4f}**', 'ssim_mean')}
+{row('gaussians', '{}', 'gaussians')}
 | iterations (x{args.mesh} views each) | {res['iterations']} |
-| gaussians | {res['gaussians']} |
 | resolution | {res['resolution']} |
 | platform | {res['platform']} ({args.mesh}-device mesh) |
 """

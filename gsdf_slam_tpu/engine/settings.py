@@ -88,12 +88,13 @@ class MapperSettings:
     # gaussian set is frozen and per-step Adam drift is small, so frozen
     # pair permutations stay accurate far longer than during the
     # high-drift densification phase. 0 = use rebin_interval everywhere.
-    # Default 4 (the staged production cadence): measured cost 0.12 dB /
-    # 0.0006 SSIM on the hard evidence scene (QUALITY_REBIN.json vs
-    # QUALITY.json) for the 36->44 it/s cached-step gain (docs/PERF.md).
+    # Default 8 (the staged production cadence): measured cost 0.15 dB /
+    # 0.0012 SSIM on the hard evidence scene (QUALITY_REBIN.json 18.26 dB
+    # vs QUALITY.json 18.41 dB; cadence 4 measured 18.29 — the 4->8 step
+    # costs 0.03 dB) for the 36->44 it/s cached-step gain (docs/PERF.md).
     # Reference semantics = rebin_interval 1 + rebin_interval_after_densify
     # 0 (PARITY.md D8).
-    rebin_interval_after_densify: int = 4
+    rebin_interval_after_densify: int = 8
     # Pipelined metrics fetch (TPU extension, docs/PERF.md): keep up to N
     # train steps in flight before blocking on their metrics. Over this
     # sandbox's TPU relay a blocking read of an in-flight result costs
@@ -184,7 +185,7 @@ class MapperSettings:
             auto_size_pairs_setting=int(g("Mapper.auto_size_pairs", 1)),
             rebin_interval=int(g("Mapper.rebin_interval", 1)),
             rebin_interval_after_densify=int(
-                g("Mapper.rebin_interval_after_densify", 4)
+                g("Mapper.rebin_interval_after_densify", 8)
             ),
             metrics_pipeline_depth=int(g("Mapper.metrics_pipeline_depth", 0)),
             gt_cache_bytes=int(g("Mapper.gt_cache_bytes", 4 << 30)),
