@@ -42,17 +42,28 @@ def run_and_trace(trace_dir: str):
     gt = jnp.asarray(rng.uniform(0, 1, (bench.HEIGHT, bench.WIDTH, 3)).astype(np.float32))
     bg = jnp.zeros(3)
 
-    def one(s, a, it):
+    import os
+
+    cached = os.environ.get("GSDF_PROFILE_CACHED", "") == "1"
+
+    def one(s, a, it, cache=None, export=False):
         return train_step(s, a, cam, gt, None, bg, jnp.int32(it),
-                          jnp.float32(1.0), cfg, opt)
+                          jnp.float32(1.0), cfg, opt,
+                          binning_cache=cache, export_binning_cache=export)
 
     s, a = state, adam
     for i in range(3):
         s, a, m = one(s, a, i + 1)
+    cache = None
+    if cached:
+        # profile the cross-step-persistence path (the production steady
+        # state trains 7/8 steps through it at cadence 8)
+        s, a, m, cache = one(s, a, 4, export=True)
+        s, a, m = one(s, a, 5, cache=cache)
     jax.block_until_ready((s.xyz,))
     with jax.profiler.trace(trace_dir):
         for i in range(5):
-            s, a, m = one(s, a, i + 10)
+            s, a, m = one(s, a, i + 10, cache=cache)
         jax.block_until_ready((s.xyz,))
         float(m.loss)
 
