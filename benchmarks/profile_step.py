@@ -11,6 +11,7 @@ from __future__ import annotations
 import glob
 import gzip
 import json
+import os
 import sys
 from collections import defaultdict
 from pathlib import Path
@@ -41,8 +42,6 @@ def run_and_trace(trace_dir: str):
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0, 1, (bench.HEIGHT, bench.WIDTH, 3)).astype(np.float32))
     bg = jnp.zeros(3)
-
-    import os
 
     cached = os.environ.get("GSDF_PROFILE_CACHED", "") == "1"
 

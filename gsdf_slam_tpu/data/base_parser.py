@@ -121,9 +121,62 @@ class CameraIntrinsics:
     cy: float
     width: int
     height: int
-    # radtan distortion coefficients (camera.h:31-70 dist_coeff_); None or
-    # all-zero means the images are already rectified.
+    # distortion coefficients (camera.h:31-70 dist_coeff_); None or
+    # all-zero means the images are already rectified. Interpretation
+    # depends on `model`: radtan (k1 k2 p1 p2 [k3]) for "pinhole",
+    # Kannala-Brandt k1..k4 for "fisheye".
     dist: np.ndarray | None = None
+    # camera projection model (camera.h:52-54 CameraModelType): "pinhole"
+    # (id 1) or "fisheye" (id 2)
+    model: str = "pinhole"
+
+
+def intrinsics_from_yaml(path, camera: int = 1) -> CameraIntrinsics:
+    """Parse an ORB_SLAM3-style sensor YAML into CameraIntrinsics.
+
+    Handles the reference's config farm (cfg/ORB_SLAM3/**): `Camera.type`
+    "PinHole" (radtan k1 k2 p1 p2 [k3]), "KannalaBrandt8"/"Fisheye"
+    (Kannala-Brandt k1..k4 — the model id 2 rig of include/camera.h:52-54),
+    or "Rectified" (no distortion). Keys may be namespaced `Camera1.fx`
+    (ORB_SLAM3 >= 1.0) or legacy `Camera.fx`; `camera` selects the rig
+    camera for the namespaced form (1 = left).
+    """
+    from ..engine.settings import parse_opencv_yaml
+
+    kv = parse_opencv_yaml(path)
+
+    def g(key, default=None):
+        v = kv.get(f"Camera{camera}.{key}")
+        if v is None:
+            v = kv.get(f"Camera.{key}", default)
+        return v
+
+    ctype = str(kv.get("Camera.type", "PinHole")).lower()
+    if ctype in ("kannalabrandt8", "fisheye"):
+        model = "fisheye"
+        dist = np.array(
+            [g("k1", 0.0), g("k2", 0.0), g("k3", 0.0), g("k4", 0.0)], np.float64
+        )
+    elif ctype == "rectified":
+        model = "pinhole"
+        dist = None
+    else:  # PinHole (radtan)
+        model = "pinhole"
+        dist = np.array(
+            [g("k1", 0.0), g("k2", 0.0), g("p1", 0.0), g("p2", 0.0),
+             g("k3", 0.0)],
+            np.float64,
+        )
+    if dist is not None and not np.any(dist != 0):
+        dist = None
+    return CameraIntrinsics(
+        fx=float(g("fx")), fy=float(g("fy")),
+        cx=float(g("cx")), cy=float(g("cy")),
+        width=int(kv.get("Camera.width", g("width", 0) or 0)),
+        height=int(kv.get("Camera.height", g("height", 0) or 0)),
+        dist=dist,
+        model=model,
+    )
 
 
 @dataclasses.dataclass

@@ -1,35 +1,71 @@
-"""Camera undistortion maps + masks.
+"""Camera undistortion maps + masks (pinhole radtan + fisheye).
 
 Equivalent of Camera::initUndistortRectifyMapAndMask (include/camera.h:
-72-105): builds cv2 remap maps for a distorted pinhole camera plus the
-white-image undistortion mask whose black edges the training loss masks out
+72-105): builds cv2 remap maps for a distorted camera plus the white-image
+undistortion mask whose black edges the training loss masks out
 (gaussian_mapper.cpp:415-417). Pyramid-level masks are resized copies, like
 the reference's gaus_pyramid_undistort_mask_.
+
+The reference's Camera carries a PINHOLE/FISHEYE model id
+(include/camera.h:52-54, CameraModelType) for the legacy Photo-SLAM
+fisheye-calibrated rigs (TUM-VI/EuRoC-style KANNALA_BRANDT sensors in
+cfg/ORB_SLAM3/**), though its own map builder only ever calls the radtan
+cv::initUndistortRectifyMap. Here the model id selects the correct OpenCV
+backend: `model="fisheye"` uses cv2.fisheye (Kannala-Brandt k1..k4),
+`model="pinhole"` the radtan path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+# reference model ids (include/camera.h:52-54)
+MODEL_INVALID, MODEL_PINHOLE, MODEL_FISHEYE = 0, 1, 2
+_MODEL_NAMES = {MODEL_PINHOLE: "pinhole", MODEL_FISHEYE: "fisheye"}
+
+
+def model_name(model) -> str:
+    """Accept a reference model id (1/2) or a string; return the string."""
+    if isinstance(model, str):
+        if model not in ("pinhole", "fisheye"):
+            raise ValueError(f"unknown camera model {model!r}")
+        return model
+    try:
+        return _MODEL_NAMES[int(model)]
+    except (KeyError, ValueError):
+        raise ValueError(f"unknown camera model id {model!r}") from None
+
 
 class UndistortRectifier:
     def __init__(
         self,
         k: np.ndarray,  # [3,3] intrinsics
-        dist: np.ndarray,  # distortion coefficients (radtan)
+        dist: np.ndarray,  # distortion coefficients (radtan k1 k2 p1 p2 [k3] / fisheye k1..k4)
         width: int,
         height: int,
         new_k: np.ndarray | None = None,
+        model: str | int = "pinhole",
     ):
         import cv2
 
         self.k = np.asarray(k, np.float64)
         self.dist = np.asarray(dist, np.float64)
         self.size = (width, height)
+        self.model = model_name(model)
         self.new_k = self.k if new_k is None else np.asarray(new_k, np.float64)
-        self.maps = cv2.initUndistortRectifyMap(
-            self.k, self.dist, None, self.new_k, self.size, cv2.CV_32FC1
-        )
+        if self.model == "fisheye":
+            # Kannala-Brandt: cv2.fisheye wants exactly 4 coefficients
+            d = np.zeros(4, np.float64)
+            d[: min(4, self.dist.size)] = self.dist.ravel()[:4]
+            self.dist = d
+            self.maps = cv2.fisheye.initUndistortRectifyMap(
+                self.k, self.dist.reshape(4, 1), np.eye(3), self.new_k,
+                self.size, cv2.CV_32FC1,
+            )
+        else:
+            self.maps = cv2.initUndistortRectifyMap(
+                self.k, self.dist, None, self.new_k, self.size, cv2.CV_32FC1
+            )
         white = np.full((height, width), 255, np.uint8)
         self.mask = (
             cv2.remap(white, *self.maps, cv2.INTER_LINEAR) > 0
@@ -64,7 +100,12 @@ class UndistortRectifier:
         pix = np.stack([xs[valid], ys[valid]], -1).astype(np.float64)
         if len(pix) == 0:
             return np.zeros((0, 3), np.float32)
-        norm = cv2.undistortPoints(pix[None], self.k, self.dist).reshape(-1, 2)
+        if self.model == "fisheye":
+            norm = cv2.fisheye.undistortPoints(
+                pix[None], self.k, self.dist.reshape(4, 1)
+            ).reshape(-1, 2)
+        else:
+            norm = cv2.undistortPoints(pix[None], self.k, self.dist).reshape(-1, 2)
         dv = d[valid].astype(np.float64)
         pts = np.stack([norm[:, 0] * dv, norm[:, 1] * dv, dv], -1)
         return pts.astype(np.float32)

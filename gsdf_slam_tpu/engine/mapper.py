@@ -259,10 +259,11 @@ class GaussianMapper:
         # mask once per camera, train on the undistorted image, and mask the
         # black remap edges out of the loss (:415-417).
         dist = getattr(intr, "dist", None) if intr is not None else None
+        cam_model = getattr(intr, "model", "pinhole") if intr is not None else "pinhole"
         if dist is not None and np.any(np.asarray(dist) != 0):
             # cache key = the actual camera geometry (camera_id is the
             # per-frame fid here, which would rebuild the maps every frame)
-            key = (cam.fx, cam.fy, cam.cx, cam.cy, w, h,
+            key = (cam.fx, cam.fy, cam.cx, cam.cy, w, h, cam_model,
                    np.asarray(dist, np.float64).tobytes())
             und = self._undistorters.get(key)
             if und is None:
@@ -272,7 +273,9 @@ class GaussianMapper:
                     [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
                     np.float64,
                 )
-                und = UndistortRectifier(k, np.asarray(dist, np.float64), w, h)
+                und = UndistortRectifier(
+                    k, np.asarray(dist, np.float64), w, h, model=cam_model
+                )
                 self._undistorters[key] = und
             image = und.undistort(image).astype(np.float32)
             mask = und.mask
@@ -1173,11 +1176,14 @@ class GaussianMapper:
                     np.float64,
                 )
                 h0, w0 = depth.shape[:2]
-                key = (intr.fx, intr.fy, intr.cx, intr.cy, w0, h0,
+                cam_model = getattr(intr, "model", "pinhole")
+                key = (intr.fx, intr.fy, intr.cx, intr.cy, w0, h0, cam_model,
                        dist.astype(np.float64).tobytes())
                 und = self._undistorters.get(key)
                 if und is None:
-                    und = UndistortRectifier(k, dist.astype(np.float64), w0, h0)
+                    und = UndistortRectifier(
+                        k, dist.astype(np.float64), w0, h0, model=cam_model
+                    )
                     self._undistorters[key] = und
                 pts_cam = und.backproject_depth(depth, stride=4)
             else:

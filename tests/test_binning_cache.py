@@ -17,6 +17,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsdf_slam_tpu.ops import RasterizeConfig, render
 
@@ -32,6 +33,7 @@ def _render(scene, cfg, **kw):
     return render(*scene, cfg, **kw)
 
 
+@pytest.mark.slow
 def test_export_matches_plain_and_cached_matches_fresh():
     scene = make_scene(p=96, seed=3)
     plain = jax.jit(_render, static_argnums=(1,))(scene, CFG)
@@ -52,6 +54,7 @@ def test_export_matches_plain_and_cached_matches_fresh():
     assert int(cached.total_pairs) == int(plain.total_pairs)
 
 
+@pytest.mark.slow
 def test_cached_gradients_match_fresh():
     scene = make_scene(p=96, seed=4)
     exp = jax.jit(lambda s: _render(s, CFG, export_binning_cache=True))(scene)
@@ -72,6 +75,7 @@ def test_cached_gradients_match_fresh():
         )
 
 
+@pytest.mark.slow
 def test_cached_step_stays_finite_when_gaussians_go_invalid():
     """Gaussians culled AFTER the cache was built (moved behind the camera,
     opacity decayed below 1/255) must blend as nothing — no NaN/inf in the
@@ -115,6 +119,7 @@ def test_cached_render_tracks_small_motion():
     np.testing.assert_allclose(cached.image, fresh.image, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mapper_rebin_interval_trains_and_invalidates():
     """Mapper-level cadence: rebin_interval=3 trains through cached steps,
     reuses a cache at most twice per (kf, level), and drops every cache on
@@ -183,6 +188,7 @@ def test_cache_requires_grouped_pallas_path():
         raise AssertionError("expected ValueError on the XLA path")
 
 
+@pytest.mark.slow
 def test_staged_rebin_after_densify():
     """rebin_interval_after_densify: fresh binning every step while
     densification is live (high drift), cached persistence only once

@@ -1,8 +1,10 @@
 """Reference-named facade smoke test (gsdf_slam_tpu.compat)."""
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_compat_model_renderer_scene_roundtrip():
     from gsdf_slam_tpu.compat import (
         Camera,

@@ -72,6 +72,7 @@ def test_native_io_matches_python(tmp_path):
     np.testing.assert_allclose(native_io.read_ply_xyz(f2), pts[:, :3], atol=1e-7)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from test_mapper import _mapper, make_frames
 

@@ -147,6 +147,7 @@ def test_sky_mask_applied():
     assert kf.mask is not None and kf.mask[:16].max() == 0.0 and kf.mask[16:].min() == 1.0
 
 
+@pytest.mark.slow
 def test_pair_overflow_retries_same_iteration(capsys):
     """Pair-capacity overflow must never yield a silently-wrong frame: the
     mapper detects total_pairs > max_pairs on the bundled per-step metrics

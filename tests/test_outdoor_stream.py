@@ -15,6 +15,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from test_skyseg import _write_brightness_net
 
 
+@pytest.mark.slow
 def test_kitti_mode_streaming_with_live_skyseg(tmp_path):
     pytest.importorskip("cv2")
     from benchmarks.synthetic_outdoor import (

@@ -41,6 +41,7 @@ CAM = CameraMatrices.from_pose(
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_param_sharded_step_matches_single_device():
     from jax.sharding import Mesh
 

@@ -11,6 +11,7 @@ semantics around host actions.
 import dataclasses
 
 import numpy as np
+import pytest
 
 from gsdf_slam_tpu.config import OptimizationParams
 from gsdf_slam_tpu.engine import GaussianMapper, MapperSettings
@@ -50,6 +51,7 @@ def _run(depth, n_iters=8, **skw):
     return m, outs
 
 
+@pytest.mark.slow
 def test_pipelined_trajectory_matches_sync():
     """Same seed, same frames: depth-2 pipeline must land on the exact
     same parameters and EMA loss as the synchronous mode (the pipeline
@@ -73,6 +75,7 @@ def test_pipelined_trajectory_matches_sync():
     assert outs[0].get("pending") or np.isfinite(outs[0]["loss"])
 
 
+@pytest.mark.slow
 def test_pipelined_overflow_replay_is_lossless():
     """A pair overflow discovered at resolve time (≤depth steps late) must
     replay the overflowing step and everything dispatched after it from
@@ -109,6 +112,7 @@ def test_flush_on_window_drain():
     assert np.isfinite(m.ema_loss) and m.ema_loss != 0.0
 
 
+@pytest.mark.slow
 def test_cadence_flushes_pipeline():
     """Densify cadence mutates state out-of-stream; it must only fire on a
     drained pipeline (an overflow replay would otherwise silently undo the

@@ -23,6 +23,7 @@ def test_synthetic_room_raycaster_is_deterministic():
     assert rgb1.std() > 0.1  # textured, not flat
 
 
+@pytest.mark.slow
 def test_quality_floor_on_mini_room():
     """Train a small room config end-to-end; held-out PSNR floor.
 

@@ -95,6 +95,7 @@ def _loss_dense(params, rest, cfg):
     return jnp.sum(img**2) + 0.1 * jnp.sum(ft)
 
 
+@pytest.mark.slow
 def test_grad_matches_dense_autodiff():
     scene = make_scene(p=48, seed=4, opacity_max=0.9)
     params, rest = scene[:6], scene[6:]

@@ -20,6 +20,7 @@ from gsdf_slam_tpu.parallel.sharding import batch_cameras, replicate_to_mesh
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_sharded_step_matches_mean_gradient():
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -80,6 +81,7 @@ def test_sharded_step_matches_mean_gradient():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_mapper_mesh_mode_trains_and_densifies():
     """GaussianMapper(mesh=...) is a real training mode: batched sharded
     steps, densify/prune + capacity growth on the replicated state."""
@@ -120,6 +122,7 @@ def test_mapper_mesh_mode_trains_and_densifies():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_sharded_trajectory_equivalence():
     """Multi-STEP equivalence: >= 20 view-parallel iterations through a
     densify surgery AND a capacity growth must (a) keep the replicated
@@ -251,6 +254,7 @@ def test_sharded_trajectory_equivalence():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_mapper_mesh_mode_pyramid_scheduling():
     """Mesh mode trains pyramid sub-levels batch-uniformly: the whole batch
     follows the low-res-first cadence of getCurrentGausPyramidLevel

@@ -143,6 +143,7 @@ def test_render_depth_state():
     np.testing.assert_allclose(depth[covered], 3.0, atol=0.1)
 
 
+@pytest.mark.slow
 def test_undistortion_wired_with_pyramid_masks():
     """A distorted camera gets undistorted at ingest; the black remap edges
     are masked at EVERY pyramid level (gaussian_mapper.cpp:172-204, 415-417;

@@ -69,6 +69,7 @@ def test_band_renders_reassemble_full_frame(backend):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_tile_sharded_step_matches_single_device():
     from jax.sharding import Mesh
 
@@ -120,6 +121,7 @@ def test_tile_sharded_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_mapper_tile_mesh_mode_tracks_single_device():
     """GaussianMapper(mesh=..., mesh_axis='tile') keeps the reference's
     1-view-per-iteration schedule (same sampler RNG => same keyframe

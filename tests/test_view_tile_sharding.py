@@ -37,6 +37,7 @@ def _scene(n=48, cap=64, seed=0):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 @pytest.mark.parametrize("nv,nb", [(2, 4), (4, 2)])
+@pytest.mark.slow
 def test_view_tile_step_matches_view_parallel(nv, nb):
     """(nv, nb) mesh == 1-D view-parallel over the same nv views: same
     params, same Adam moments, same densification stats, same metrics."""
@@ -102,6 +103,7 @@ def test_view_tile_step_matches_view_parallel(nv, nb):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+@pytest.mark.slow
 def test_mapper_view_tile_mode_trains_and_densifies():
     """GaussianMapper(mesh=2-D, mesh_axis='view_tile') is a real training
     mode: batched banded steps, densify + growth on the replicated state."""
