@@ -25,12 +25,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-P = 1 << 18  # gaussian capacity
-MP = 3 << 17  # pair capacity (393216)
+import os
+
+P = int(os.environ.get("MB_P", 1 << 18))  # gaussian capacity
+MP = int(os.environ.get("MB_MP", 3 << 17))  # pair capacity (393216)
 NG = 404  # tile groups at 1200x680 / group=8
 CHUNK = 128
 MPA = MP + NG * CHUNK
-REPS = 30
+REPS = int(os.environ.get("MB_REPS", 30))
 
 
 def timed(name, op, x, *rest):
@@ -429,8 +431,55 @@ def bench_cumsum_p():
     timed("cumsum [P] int32", op, x)
 
 
+def bench_backsort_payload():
+    """Fold-v2 piece 1 (r4): sort pair-grad rows back to expansion (gid-
+    contiguous) order by a carried slot key — 1 int key + 9 f32 payload."""
+    r = np.random.default_rng(3)
+    key = jnp.asarray(r.permutation(MPA).astype(np.int32))
+    rows = [jnp.asarray(r.standard_normal(MPA).astype(np.float32)) for _ in range(9)]
+
+    def op(k, *rs):
+        out = jax.lax.sort((k,) + rs, num_keys=1, is_stable=False)
+        return out[0] ^ 1, *out[1:]
+
+    def run(k, *rs):
+        def body(i, c):
+            return op(*c)
+        final = jax.lax.fori_loop(0, REPS, body, (k, *rs))
+        return jnp.sum(final[1][:1])
+
+    fn = jax.jit(run)
+    float(fn(key, *rows))
+    t0 = time.perf_counter()
+    float(fn(key, *rows))
+    dt = (time.perf_counter() - t0) / REPS * 1e3
+    print(f"{'back-sort 1key+9payload [MPA]':46s} {dt:8.3f} ms/op")
+
+
+def bench_fold_cumsum_ends():
+    """Fold-v2 pieces 2+3 (r4): values pre-sorted to gid-contiguous order;
+    segment sum = cumsum along pairs + gather at per-gaussian end offsets +
+    adjacent diff. Cost model: bandwidth (cumsum) + P-row gather — replaces
+    the MPA-row scatter when MPA >> P."""
+    r = np.random.default_rng(5)
+    vals = jnp.asarray(r.standard_normal((MPA, 16)).astype(np.float32))
+    t = r.integers(0, 7, P).astype(np.int64)
+    t = (t * (0.9 * MP / max(t.sum(), 1))).astype(np.int64)
+    ends = jnp.asarray((np.cumsum(t) - 1).clip(0, MPA - 1).astype(np.int32))
+
+    def op(c, ends):
+        cs = jnp.cumsum(c, axis=0)  # [MPA, 16]
+        at_ends = cs[ends]  # [P, 16] row gather
+        out = jnp.diff(at_ends, axis=0, prepend=jnp.zeros((1, 16), jnp.float32))
+        return c.at[:P].add(out)
+
+    timed("fold-v2 cumsum+ends-gather+diff", op, vals, ends)
+
+
 ALL = {
     "null": bench_null,
+    "backsort": bench_backsort_payload,
+    "fold_v2": bench_fold_cumsum_ends,
     "fold": bench_fold,
     "fold_sorted": bench_fold_sorted,
     "segsum": bench_segsum_sorted,

