@@ -739,6 +739,169 @@ def run_fwd_variant(kernel, ranges, pairs, ng, grid_w, chunk, group, nbuf=2):
     )(ranges, pairs)
 
 
+
+
+def _fwd_kernel_pair2(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
+                      ndone_ref, buf_ref, sem, *, grid_w, chunk, group):
+    """Cross-group interleave (r4 VERDICT item 3): each grid cell advances
+    TWO independent tile-groups in lock step, with two disjoint carry sets
+    and two DMA streams in ONE loop body. The production kernel's per-chunk
+    dependency chain (log_raw -> termination test -> next chunk) is
+    fundamental to front-to-back blending (the unroll2 negative, PERF.md);
+    a second INDEPENDENT chain gives Mosaic's scheduler real parallel work
+    to fill those stalls with.
+
+    Lock-step semantics: the loop runs to max(n_chunks_A, n_chunks_B) or
+    until both groups hit the termination test; a finished group's carry
+    updates are masked out with selects (NOT pl.when — separate scf.if
+    regions would serialize the chains again and defeat the interleave).
+    Per-group early-termination EXITS are therefore coarser than
+    production (a terminated group still burns lanes until its partner
+    finishes); the measurement answers whether interleaving wins more
+    than that imbalance loses."""
+    h = pl.program_id(0)
+    gA = 2 * h
+    gB = 2 * h + 1
+    startA = ranges_ref[0, gA]
+    nA = ranges_ref[1, gA]
+    startB = ranges_ref[0, gB]
+    nB = ranges_ref[1, gB]
+    ncA = pl.cdiv(nA, chunk)
+    ncB = pl.cdiv(nB, chunk)
+    nc = jnp.maximum(ncA, ncB)
+    triu = _triu(chunk)
+
+    def _dma(s, st, nchunks, c_idx, slot):
+        # clamp the stream's chunk index into its own range: a finished
+        # stream re-reads its last chunk (harmless bandwidth, masked math)
+        c = jnp.clip(c_idx, 0, jnp.maximum(nchunks - 1, 0))
+        off = pl.multiple_of(st + c * chunk, chunk)
+        return pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(off, chunk)], buf_ref.at[s, slot],
+            sem.at[s, slot]
+        )
+
+    @pl.when(nc > 0)
+    def _prologue():
+        _dma(0, startA, ncA, 0, 0).start()
+        _dma(1, startB, ncB, 0, 0).start()
+
+    def cond(carry):
+        c_idx, lrA, _, _, lrB, _, _ = carry
+        liveA = jnp.logical_and(c_idx < ncA, jnp.max(lrA) >= LOG_T_EPS)
+        liveB = jnp.logical_and(c_idx < ncB, jnp.max(lrB) >= LOG_T_EPS)
+        return jnp.logical_or(liveA, liveB)
+
+    def _half(buf, g_idx, c_idx, n, log_raw, log_eff, acc):
+        alpha, _, _, _, _, slot = _chunk_geom(
+            buf, g_idx, grid_w, group, c_idx * chunk, n
+        )
+        oh = _onehot(slot, group, chunk)
+        eq = _mm(oh, oh, (((0,), (0,)),)[0])
+        useg = triu * eq
+        log1m = jnp.log1p(-alpha)
+        incl = _mm(log1m, useg, (((1,), (0,)),)[0])
+        carry_cols = _mm(log_raw, oh, (((1,), (0,)),)[0])
+        t_excl = jnp.exp(carry_cols + (incl - log1m))
+        applied = (carry_cols + incl >= LOG_T_EPS).astype(jnp.float32)
+        w = alpha * t_excl * applied
+        col = buf[6:9, :]
+        adds = [
+            _mm(w * col[ch:ch + 1, :], oh, (((1,), (1,)),)[0])[:, :, None]
+            for ch in range(3)
+        ]
+        return (
+            log_raw + _mm(log1m, oh, (((1,), (1,)),)[0]),
+            log_eff + _mm(log1m * applied, oh, (((1,), (1,)),)[0]),
+            acc + jnp.concatenate(adds, axis=2),
+        )
+
+    def body(carry):
+        c_idx, lrA, leA, accA, lrB, leB, accB = carry
+        slot_i = jax.lax.rem(c_idx, 2)
+
+        @pl.when(c_idx + 1 < nc)
+        def _prefetch():
+            _dma(0, startA, ncA, c_idx + 1, 1 - slot_i).start()
+            _dma(1, startB, ncB, c_idx + 1, 1 - slot_i).start()
+
+        _dma(0, startA, ncA, c_idx, slot_i).wait()
+        _dma(1, startB, ncB, c_idx, slot_i).wait()
+        liveA = jnp.logical_and(c_idx < ncA, jnp.max(lrA) >= LOG_T_EPS)
+        liveB = jnp.logical_and(c_idx < ncB, jnp.max(lrB) >= LOG_T_EPS)
+        nlrA, nleA, naccA = _half(
+            buf_ref[0, slot_i], gA, c_idx, nA, lrA, leA, accA
+        )
+        nlrB, nleB, naccB = _half(
+            buf_ref[1, slot_i], gB, c_idx, nB, lrB, leB, accB
+        )
+        sel = lambda live, new, old: jnp.where(live, new, old)
+        return (
+            c_idx + 1,
+            sel(liveA, nlrA, lrA), sel(liveA, nleA, leA),
+            sel(liveA, naccA, accA),
+            sel(liveB, nlrB, lrB), sel(liveB, nleB, leB),
+            sel(liveB, naccB, accB),
+        )
+
+    z2 = jnp.zeros((PIX_PER_TILE, group), jnp.float32)
+    z3 = jnp.zeros((PIX_PER_TILE, group, 3), jnp.float32)
+    init = (jnp.int32(0), z2, z2, z3, z2, z2, z3)
+    c_done, lrA, leA, accA, lrB, leB, accB = jax.lax.while_loop(
+        cond, body, init
+    )
+
+    @pl.when(c_done < nc)
+    def _drain():
+        s = jax.lax.rem(c_done, 2)
+        _dma(0, startA, ncA, c_done, s).wait()
+        _dma(1, startB, ncB, c_done, s).wait()
+
+    accum_ref[0] = accA
+    accum_ref[1] = accB
+    teff_ref[0] = leA
+    teff_ref[1] = leB
+    traw_ref[0] = lrA
+    traw_ref[1] = lrB
+    ndone_ref[0] = jnp.full((1, 1), c_done, jnp.int32)
+    ndone_ref[1] = jnp.full((1, 1), c_done, jnp.int32)
+
+
+def run_fwd_pair2(ranges, pairs, ng, grid_w, chunk, group):
+    assert ng % 2 == 0, "pair2 probe assumes an even group count"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng // 2,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((2, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
+            pl.BlockSpec((2, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((2, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+            pl.BlockSpec((2, 1, 1), lambda i, r: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, PACK, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_pair2, grid_w=grid_w, chunk=chunk, group=group
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group, 3), jnp.float32),
+            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
+            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
+            jax.ShapeDtypeStruct((ng, 1, 1), jnp.int32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(ranges, pairs)
+
+
+
+
+
 def main(names):
     ranges, pairs, ng, gw = build_inputs()
     mpa = pairs.shape[1]
@@ -756,6 +919,17 @@ def main(names):
     if want("fwd"):
         results["fwd"] = timed(
             "fwd (production)", chain_fwd(_run_fwd, ranges, pairs, ng, gw), pairs
+        )
+    if want("fwd_pair2"):
+        # parity first: outputs must match production bit-near (identical
+        # math per group; only loop scheduling differs)
+        a0, t0_, r0, _ = jax.jit(lambda r, p: _run_fwd(r, p, ng, gw, 128, 8))(ranges, pairs)
+        a1, t1_, r1, _ = jax.jit(lambda r, p: run_fwd_pair2(r, p, ng, gw, 128, 8))(ranges, pairs)
+        d = max(float(jnp.max(jnp.abs(a0 - a1))), float(jnp.max(jnp.abs(t0_ - t1_))))
+        print(f"  pair2 parity: max|d| = {d:.3e}")
+        results["fwd_pair2"] = timed(
+            "fwd_pair2 (2-group interleave)",
+            chain_fwd(run_fwd_pair2, ranges, pairs, ng, gw), pairs,
         )
     if want("fwd_floor"):
         results["fwd_floor"] = timed(

@@ -497,6 +497,146 @@ ALL = {
     "cumsum_p": bench_cumsum_p,
 }
 
+
+def bench_fold_v3():
+    """Fold-v3 (r4 production candidate): the full sort-by-gid composition
+    that replaces the [MPA,16]->[P,16] scatter-add. Padding lanes carry
+    garbage gids but exactly-zero grads, so zero rows inside a segment
+    leave every prefix diff unchanged — no forward-pipeline changes needed.
+
+      1. lax.sort((gid, g0..g8), num_keys=1)        (gid-contiguous order)
+      2. prefix = [0; cumsum(G, axis=0)]            (running segment sums)
+      3. n_le = searchsorted(sgid, arange(P), right) (per-gaussian bounds)
+      4. acc = diff(prefix[n_le], prepend=0)        (segment sums)
+    """
+    r = np.random.default_rng(7)
+    gid = jnp.asarray(np.sort(r.integers(0, P, MPA)).astype(np.int32))
+    # unsorted input (the realigned kernel order)
+    perm = r.permutation(MPA)
+    gid = gid[jnp.asarray(perm)]
+    grows = [jnp.asarray(r.standard_normal(MPA).astype(np.float32)) for _ in range(9)]
+
+    def op(gid, *gs):
+        rows = jax.lax.sort((gid,) + gs, num_keys=1, is_stable=False)
+        sgid = rows[0]
+        g = jnp.stack(rows[1:], axis=1)  # [MPA, 9]
+        cs = jnp.concatenate(
+            [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(g, axis=0)], axis=0
+        )
+        n_le = jnp.searchsorted(
+            sgid, jnp.arange(P, dtype=jnp.int32), side="right"
+        )
+        at = cs[n_le]
+        acc = jnp.diff(at, axis=0, prepend=jnp.zeros((1, 9), jnp.float32))
+        # chain: fold result back into the inputs
+        out = [v.at[:P].add(acc[:, i]) for i, v in enumerate(gs)]
+        return (gid ^ 1, *out)
+
+    def run(gid, *gs):
+        def body(i, c):
+            return op(*c)
+        final = jax.lax.fori_loop(0, REPS, body, (gid, *grows))
+        return jnp.sum(final[1][:1])
+
+    fn = jax.jit(run)
+    float(fn(gid, *grows))
+    t0 = time.perf_counter()
+    float(fn(gid, *grows))
+    dt = (time.perf_counter() - t0) / REPS * 1e3
+    print(f"{'fold-v3 sort+cumsum+searchsorted+diff':46s} {dt:8.3f} ms/op")
+
+
+def bench_searchsorted_p():
+    """Isolated: P queries into a sorted [MPA] key array (fold-v3 step 3)."""
+    r = np.random.default_rng(7)
+    sgid = jnp.asarray(np.sort(r.integers(0, P, MPA)).astype(np.int32))
+    q = jnp.arange(P, dtype=jnp.int32)
+
+    def op(sgid, q):
+        n = jnp.searchsorted(sgid, q, side="right")
+        return sgid.at[:P].add(n), q ^ 1
+
+    def run(sgid, q):
+        def body(i, c):
+            return op(*c)
+        final = jax.lax.fori_loop(0, REPS, body, (sgid, q))
+        return jnp.sum(final[0][:1])
+
+    fn = jax.jit(run)
+    float(fn(sgid, q))
+    t0 = time.perf_counter()
+    float(fn(sgid, q))
+    dt = (time.perf_counter() - t0) / REPS * 1e3
+    print(f"{'searchsorted P-into-MPA':46s} {dt:8.3f} ms/op")
+
+
+
+
+def bench_fold_v4():
+    """Fold-v4 (r4 production candidate B): replaces searchsorted (79 ms,
+    row-loop binary-search gathers) with ANALYTIC boundaries.
+
+      fwd-side (counted here too): kept-count per gaussian kc via int
+      cumsum over the expansion keep mask + ends gather + diff; boundary
+      positions = cumsum(kc).
+      bwd-side: lane validity from group ranges (2 tiny scatters + int
+      cumsum), mask padding gids BIG, sort (gid, 9 grads), prefix-sum the
+      sorted grads, gather at boundaries, adjacent diff.
+    """
+    r = np.random.default_rng(7)
+    ng, chunk = 404, 128
+    mpa = MP + ng * chunk
+    # synthetic group layout: gcounts sum to ~0.9 MP
+    gc = r.integers(0, 2 * MP // ng, ng).astype(np.int64)
+    gc = (gc * (0.9 * MP / max(gc.sum(), 1))).astype(np.int32)
+    gs = ((gc + chunk - 1) // chunk * chunk).astype(np.int32)
+    gstarts = (np.cumsum(gs) - gs).astype(np.int32)
+    gcounts = jnp.asarray(gc)
+    gstarts_j = jnp.asarray(gstarts)
+    # per-lane gid: valid lanes get sorted-ish random gids, padding garbage
+    gid = jnp.asarray(r.integers(0, P, mpa).astype(np.int32))
+    grows = [jnp.asarray(r.standard_normal(mpa).astype(np.float32)) for _ in range(9)]
+    # analytic per-gaussian boundary positions (fwd-computed in production)
+    kc = r.integers(0, 5, P).astype(np.int64)
+    kc = (kc * (0.9 * MP / max(kc.sum(), 1))).astype(np.int32)
+    ends = jnp.asarray(np.cumsum(kc).clip(0, mpa).astype(np.int32))
+
+    def op(gid, ends, *gs):
+        # lane validity from group ranges
+        bnd = jnp.zeros((mpa + 1,), jnp.int32)
+        bnd = bnd.at[gstarts_j + gcounts].add(1)
+        bnd = bnd.at[gstarts_j].add(-1)
+        lvl = jnp.cumsum(bnd[:mpa])
+        masked = jnp.where(lvl == -1, gid, jnp.int32(0x7FFFFF00))
+        rows = jax.lax.sort((masked,) + gs, num_keys=1, is_stable=False)
+        g = jnp.stack(rows[1:], axis=1)  # [MPA, 9]
+        cs = jnp.concatenate(
+            [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(g, axis=0)], axis=0
+        )
+        at = cs[ends]
+        acc = jnp.diff(at, axis=0, prepend=jnp.zeros((1, 9), jnp.float32))
+        out = [v.at[:P].add(acc[:, i]) for i, v in enumerate(gs)]
+        return (gid ^ 1, ends, *out)
+
+    def run(gid, ends, *gs):
+        def body(i, c):
+            return op(*c)
+        final = jax.lax.fori_loop(0, REPS, body, (gid, ends, *gs))
+        return jnp.sum(final[2][:1])
+
+    fn = jax.jit(run)
+    float(fn(gid, ends, *grows))
+    t0 = time.perf_counter()
+    float(fn(gid, ends, *grows))
+    dt = (time.perf_counter() - t0) / REPS * 1e3
+    print(f"{'fold-v4 mask+sort+cumsum+analytic-ends':46s} {dt:8.3f} ms/op")
+
+
+
+
+ALL.update({"fold_v3": bench_fold_v3, "searchsorted_p": bench_searchsorted_p, "fold_v4": bench_fold_v4})
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     for n in names:

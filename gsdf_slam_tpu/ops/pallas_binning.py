@@ -50,6 +50,11 @@ class SortedPairs(NamedTuple):
     ranges: jnp.ndarray  # [2, ng] int32: chunk-aligned group starts; counts
     pairs: jnp.ndarray  # [16, MPA] f32: rows 0-8 blend fields, 9 slot, 10 gid bits
     total_pairs: jnp.ndarray  # [] int32 true pair count (overflow indicator)
+    # [P] int32 EXCLUSIVE prefix of kept (post-cull) pair counts by gid:
+    # kept_bounds[g] = number of kept pairs with gid <= g. Exact int math;
+    # the backward's sorted gradient fold reads its segment boundaries here
+    # instead of a searchsorted (docs/PERF.md r4 fold-v4).
+    kept_bounds: jnp.ndarray
 
 
 def _as_f(x: jnp.ndarray) -> jnp.ndarray:
@@ -191,6 +196,17 @@ def sort_expand_pack(
     pair_valid = (slot < total) & keep
     tile_id = jnp.where(pair_valid, ty * grid_w + tx, num_tiles).astype(jnp.int32)
 
+    # Per-gaussian kept-pair boundaries, computed where they are FREE: in
+    # expansion order the pairs of gaussian g occupy slots
+    # [starts[g], starts[g] + tiles_touched[g]), so the cumulative count of
+    # kept pairs with gid <= g is one int-cumsum + one [P]-row gather —
+    # exact, no scatter, no search. The backward fold sorts pair gradients
+    # by gid and reads segment sums at exactly these positions.
+    kint = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pair_valid.astype(jnp.int32))]
+    )
+    kept_bounds = kint[jnp.clip(jnp.cumsum(tiles_d), 0, mp)]
+
     sorted_ops = jax.lax.sort(
         (
             tile_id,
@@ -236,4 +252,6 @@ def sort_expand_pack(
     tbl = jnp.stack([g_first_slot, gstarts, gsizes // chunk], axis=0)
     (pairs,) = _make_realign(ng, src_lanes, mpa, chunk)(tbl, packed)
     ranges = jnp.stack([gstarts, gcounts], axis=0)
-    return SortedPairs(ranges=ranges, pairs=pairs, total_pairs=total)
+    return SortedPairs(
+        ranges=ranges, pairs=pairs, total_pairs=total, kept_bounds=kept_bounds
+    )

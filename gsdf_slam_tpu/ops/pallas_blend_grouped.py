@@ -377,6 +377,55 @@ class BinningCache(NamedTuple):
     gid: jnp.ndarray  # [MPA] int32 pair -> gaussian row, clipped to [0, P]
     slot: jnp.ndarray  # [MPA] f32 tile-within-group of each pair
     total_pairs: jnp.ndarray  # [] int32 pair count at build time
+    kept_bounds: jnp.ndarray  # [P] int32 prefix kept-pair counts (fold-v4)
+
+
+def _fold_pair_grads(pair_grads, gid, ranges3, kept_bounds, p):
+    """Fold per-pair gradients [16, MPA] back to per-gaussian rows [P, 9].
+
+    The reference folds with atomicAdd into per-gaussian buffers
+    (backward.cu:546+) — order-nondeterministic on CUDA. The direct XLA
+    analog, `zeros[P,16].at[gid].add(grads)`, is a row-loop scatter that
+    costs ~65 ms at 1.2M pairs on v5e (docs/PERF.md r4) and scales with
+    pair CAPACITY. This fold instead:
+
+      1. builds lane validity from the group ranges (two [NG]-row scatters
+         + one int cumsum — padding lanes carry garbage gid bits that must
+         not shift segment boundaries),
+      2. masks padding gids BIG and sorts (gid, g0..g8) — gid-contiguous,
+      3. prefix-sums the sorted gradients and reads each gaussian's
+         segment sum at the EXACT boundary positions the forward computed
+         in expansion order (SortedPairs.kept_bounds) — no searchsorted,
+         no scatter.
+
+    10 ms at 1.2M pairs (benchmarks/microbench.py fold_v4). Precision:
+    segment sums come out of an f32 prefix, so |err| <= ~2*eps*|prefix|
+    (measured 3e-4 absolute on unit-scale grads at 1.2M pairs) — the same
+    class as the reference's own run-to-run atomicAdd ordering jitter.
+    Valid lanes whose gradients the kernels zeroed (early-terminated or
+    behind the termination frontier) contribute exact zeros to their
+    segment, so only PADDING lanes need masking.
+    """
+    mpa = pair_grads.shape[1]
+    gstarts, gcounts = ranges3[0], ranges3[1]
+    bnd = jnp.zeros((mpa + 1,), jnp.int32)
+    bnd = bnd.at[gstarts + gcounts].add(1)
+    bnd = bnd.at[gstarts].add(-1)
+    lvl = jnp.cumsum(bnd[:mpa])
+    masked = jnp.where(
+        lvl == -1, jnp.clip(gid, 0, p - 1), jnp.int32(0x7FFFFF00)
+    )
+    rows = jax.lax.sort(
+        (masked,) + tuple(pair_grads[i] for i in range(9)),
+        num_keys=1,
+        is_stable=False,
+    )
+    g = jnp.stack(rows[1:], axis=1)  # [MPA, 9] gid-contiguous
+    cs = jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(g, axis=0)], axis=0
+    )
+    at = cs[jnp.clip(kept_bounds, 0, mpa)]  # [P, 9]
+    return jnp.diff(at, axis=0, prepend=jnp.zeros((1, 9), jnp.float32))
 
 
 @functools.lru_cache(maxsize=32)
@@ -426,23 +475,23 @@ def _make_cached_blend(
         return pairs, accum, teff, traw, ndone
 
     @jax.custom_vjp
-    def blend(ranges, gid, slot_f, total, valid, means2d, conics, opacities, colors):
+    def blend(ranges, gid, slot_f, total, kept_bounds, valid, means2d, conics, opacities, colors):
         _, accum, teff, _, _ = _pipeline(
             ranges, gid, slot_f, valid, means2d, conics, opacities, colors
         )
         acc, te = _to_tiles(accum, teff)
         return acc, te, total
 
-    def fwd(ranges, gid, slot_f, total, valid, means2d, conics, opacities, colors):
+    def fwd(ranges, gid, slot_f, total, kept_bounds, valid, means2d, conics, opacities, colors):
         pairs, accum, teff, traw, ndone = _pipeline(
             ranges, gid, slot_f, valid, means2d, conics, opacities, colors
         )
         acc, te = _to_tiles(accum, teff)
         ranges3 = jnp.concatenate([ranges, ndone[:, 0, 0][None, :]], axis=0)
-        return (acc, te, total), (ranges3, pairs, traw, gid, valid)
+        return (acc, te, total), (ranges3, pairs, traw, gid, kept_bounds, valid)
 
     def bwd(res, cts):
-        ranges3, pairs, traw, gid, valid = res
+        ranges3, pairs, traw, gid, kept_bounds, valid = res
         ct_accum_t, ct_teff_t, _ = cts
         pad = ng * group - num_tiles
         ct_acc = jnp.pad(ct_accum_t, ((0, pad), (0, 0), (0, 0)))
@@ -452,11 +501,12 @@ def _make_cached_blend(
         pair_grads = _run_bwd(
             ranges3, pairs, traw, ct_acc, ct_te, mpa, ng, grid_w, chunk, group
         )
-        acc = jnp.zeros((p + 1, PACK), jnp.float32).at[gid].add(pair_grads.T)[:p]
+        acc = _fold_pair_grads(pair_grads, gid, ranges3, kept_bounds, p)
         # invalid-this-step rows got zero pair grads by construction; the
         # mask mirrors the fwd sanitization `where` VJP exactly.
         okm = valid[:, None]
         zi = np.zeros(gid.shape, dtype=jax.dtypes.float0)
+        zk = np.zeros(kept_bounds.shape, dtype=jax.dtypes.float0)
         zb = np.zeros(valid.shape, dtype=jax.dtypes.float0)
         zt = np.zeros((), dtype=jax.dtypes.float0)
         return (
@@ -464,6 +514,7 @@ def _make_cached_blend(
             zi,
             jnp.zeros((mpa,), jnp.float32),
             zt,
+            zk,
             zb,
             jnp.where(okm, acc[:, 0:2], 0.0),
             jnp.where(okm, acc[:, 2:5], 0.0),
@@ -496,6 +547,7 @@ def blend_tiles_grouped_cached(
         cache.gid,
         cache.slot,
         cache.total_pairs,
+        cache.kept_bounds,
         jax.lax.stop_gradient(valid),
         pre.means2d,
         pre.conics,
@@ -545,7 +597,7 @@ def _make_fused_blend(
         gid = jnp.clip(jax.lax.bitcast_convert_type(sp.pairs[10], jnp.int32), 0, p)
         return BinningCache(
             ranges=sp.ranges, gid=gid, slot=sp.pairs[F_SLOT],
-            total_pairs=sp.total_pairs,
+            total_pairs=sp.total_pairs, kept_bounds=sp.kept_bounds,
         )
 
     @jax.custom_vjp
@@ -568,10 +620,10 @@ def _make_fused_blend(
         out = (acc, te, sp.total_pairs)
         if export:
             out = out + (_cache_of(sp, depths.shape[0]),)
-        return out, (ranges3, sp.pairs, traw, depths.shape[0], shapes)
+        return out, (ranges3, sp.pairs, traw, sp.kept_bounds, depths.shape[0], shapes)
 
     def bwd(res, cts):
-        ranges, pairs, traw, p, shapes = res
+        ranges, pairs, traw, kept_bounds, p, shapes = res
         ct_accum_t, ct_teff_t = cts[0], cts[1]  # remaining cts symbolic-zero
         pad = ng * group - num_tiles
         ct_acc = jnp.pad(ct_accum_t, ((0, pad), (0, 0), (0, 0)))
@@ -581,13 +633,10 @@ def _make_fused_blend(
         pair_grads = _run_bwd(
             ranges, pairs, traw, ct_acc, ct_te, pairs.shape[1], ng, grid_w, chunk, group
         )
-        # gid rode along as bitcast bits in row 10; padding/unvisited slots
-        # carry garbage ids but exactly-zero gradients (masked lanes), so a
-        # clip keeps every index in range and the adds are no-ops.
-        gid = jnp.clip(
-            jax.lax.bitcast_convert_type(pairs[10], jnp.int32), 0, p
-        )
-        acc = jnp.zeros((p + 1, PACK), jnp.float32).at[gid].add(pair_grads.T)[:p]
+        # gid rode along as bitcast bits in row 10 (garbage on padding
+        # lanes — _fold_pair_grads masks those out by group ranges)
+        gid = jax.lax.bitcast_convert_type(pairs[10], jnp.int32)
+        acc = _fold_pair_grads(pair_grads, gid, ranges, kept_bounds, p)
         zd = jnp.zeros(shapes[0], jnp.float32)  # depth is f32 (non-diff key)
         zr = np.zeros(shapes[1], dtype=jax.dtypes.float0)
         zt = np.zeros(shapes[2], dtype=jax.dtypes.float0)
