@@ -54,7 +54,16 @@ REPS = int(os.environ.get("KPROBE_REPS", "20"))
 
 
 def build_inputs():
-    state, _ = bench.build_scene()
+    import os
+
+    # GSDF_PROBE_N=400000 probes the converged-density scale point
+    # (bench.py headline scene) instead of the legacy 200k scene
+    n = int(os.environ.get("GSDF_PROBE_N", 0))
+    if n:
+        state, _ = bench.build_scene(n=n, converged=True)
+        bench.MAX_PAIRS = bench.autosize_pairs(state)
+    else:
+        state, _ = bench.build_scene()
     fovx = 2 * np.arctan(bench.WIDTH / (2 * 600.0))
     fovy = 2 * np.arctan(bench.HEIGHT / (2 * 600.0))
     cam = CameraMatrices.from_pose(

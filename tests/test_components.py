@@ -319,3 +319,83 @@ def test_shipped_example_configs_parse():
     assert tum.max_depth_cached == 10
     assert tum.stable_num_iter_existence == 1
     assert tum.large_rotation_threshold == 30.0
+
+
+def test_fold_pair_grads_matches_scatter_reference():
+    """_fold_pair_grads (sorted-prefix fold, docs/PERF.md r4) must agree
+    with the scatter-add it replaced — including garbage gids with
+    NONZERO values on realign-padding lanes, which only the ranges-derived
+    validity mask may exclude (zero-grad valid lanes are exercised too)."""
+    import jax.numpy as jnp
+
+    from gsdf_slam_tpu.ops.pallas_blend_grouped import _fold_pair_grads
+
+    rng = np.random.default_rng(42)
+    p, ng, chunk = 500, 7, 128
+    # group layout: counts, chunk-aligned sizes, starts
+    gcounts = rng.integers(0, 3 * chunk, ng).astype(np.int32)
+    gsizes = (gcounts + chunk - 1) // chunk * chunk
+    gstarts = (np.cumsum(gsizes) - gsizes).astype(np.int32)
+    mpa = int(gsizes.sum()) + 2 * chunk  # tail slack beyond the last group
+    valid = np.zeros(mpa, bool)
+    gid = rng.integers(0, p, mpa).astype(np.int32)  # garbage everywhere...
+    grads = rng.standard_normal((16, mpa)).astype(np.float32)
+    for g in range(ng):
+        valid[gstarts[g]:gstarts[g] + gcounts[g]] = True
+    # ...but gids must be segment-contiguous per gaussian across the valid
+    # lanes (the fresh pipeline guarantees it): assign sorted gids there
+    nv = int(valid.sum())
+    gid[valid] = np.sort(rng.integers(0, p, nv)).astype(np.int32)
+    # some valid lanes carry exactly-zero grads (early-terminated pairs)
+    zmask = rng.uniform(size=mpa) < 0.2
+    grads[:, zmask] = 0.0
+    # padding lanes: NONZERO garbage values (the kernels zero them in
+    # production, but the fold must not rely on that for ordering — only
+    # for values; here we zero them like the kernels do)
+    grads[:, ~valid] = 0.0
+
+    # scatter-add reference over valid lanes only
+    ref = np.zeros((p, 9), np.float32)
+    np.add.at(ref, gid[valid], grads[:9, valid].T)
+
+    # analytic boundaries: cumulative kept counts by gid
+    kept_bounds = np.searchsorted(np.sort(gid[valid]), np.arange(p), "right")
+    ranges3 = jnp.asarray(
+        np.stack([gstarts, gcounts, np.zeros(ng, np.int32)]), jnp.int32
+    )
+    acc = np.asarray(
+        _fold_pair_grads(
+            jnp.asarray(grads), jnp.asarray(gid), ranges3,
+            jnp.asarray(kept_bounds.astype(np.int32)), p,
+        )
+    )
+    np.testing.assert_allclose(acc, ref, rtol=1e-4, atol=5e-5)
+
+
+def test_fold_pair_grads_ignores_padding_garbage():
+    """Padding lanes with valid-LOOKING gids and nonzero values must be
+    excluded by the ranges mask (they are zeroed by the kernels in
+    production; this pins the mask itself)."""
+    import jax.numpy as jnp
+
+    from gsdf_slam_tpu.ops.pallas_blend_grouped import _fold_pair_grads
+
+    p, chunk = 10, 128
+    gcounts = np.array([3], np.int32)
+    gstarts = np.array([0], np.int32)
+    mpa = 2 * chunk
+    gid = np.full(mpa, 5, np.int32)  # padding lanes CLAIM gaussian 5
+    gid[:3] = [1, 1, 2]
+    grads = np.ones((16, mpa), np.float32)  # padding values NONZERO
+    kept_bounds = np.searchsorted([1, 1, 2], np.arange(p), "right")
+    ranges3 = jnp.asarray(np.stack([gstarts, gcounts, [0]]), jnp.int32)
+    acc = np.asarray(
+        _fold_pair_grads(
+            jnp.asarray(grads), jnp.asarray(gid), ranges3,
+            jnp.asarray(kept_bounds.astype(np.int32)), p,
+        )
+    )
+    ref = np.zeros((p, 9), np.float32)
+    ref[1] = 2.0
+    ref[2] = 1.0
+    np.testing.assert_allclose(acc, ref, atol=1e-6)
