@@ -380,7 +380,18 @@ class BinningCache(NamedTuple):
     kept_bounds: jnp.ndarray  # [P] int32 prefix kept-pair counts (fold-v4)
 
 
-def _fold_pair_grads(pair_grads, gid, ranges3, kept_bounds, p):
+# Static crossover between the two fold strategies (rows = MPA). The XLA
+# scatter-add costs ~16 ns/row at 230k rows growing to ~55 ns/row at 1.2M
+# (superlinear); the sorted fold costs a near-constant ~6-10 ms dominated
+# by the [P]-row kept_bounds gather + the 10-operand sort. Measured 2026-08
+# (benchmarks/microbench.py fold / fold_v4; bench.py KITTI + legacy_200k vs
+# the 400k/800k converged points): scatter wins below ~0.4M rows, sorted
+# wins 6.5x at 1.2M. The choice is static per jit signature.
+_SORTED_FOLD_MIN_ROWS = 393216
+
+
+def _fold_pair_grads(pair_grads, gid, ranges3, kept_bounds, p,
+                     min_rows=_SORTED_FOLD_MIN_ROWS):
     """Fold per-pair gradients [16, MPA] back to per-gaussian rows [P, 9].
 
     The reference folds with atomicAdd into per-gaussian buffers
@@ -407,6 +418,15 @@ def _fold_pair_grads(pair_grads, gid, ranges3, kept_bounds, p):
     segment, so only PADDING lanes need masking.
     """
     mpa = pair_grads.shape[1]
+    if mpa < min_rows:
+        # small maps: the plain scatter-add is cheaper than this fold's
+        # fixed costs (and XLA dead-code-eliminates the forward's unused
+        # kept_bounds gather on this path)
+        gidc = jnp.clip(gid, 0, p)
+        acc = (
+            jnp.zeros((p + 1, PACK), jnp.float32).at[gidc].add(pair_grads.T)
+        )
+        return acc[:p, :9]
     gstarts, gcounts = ranges3[0], ranges3[1]
     bnd = jnp.zeros((mpa + 1,), jnp.int32)
     bnd = bnd.at[gstarts + gcounts].add(1)

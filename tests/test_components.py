@@ -366,10 +366,18 @@ def test_fold_pair_grads_matches_scatter_reference():
     acc = np.asarray(
         _fold_pair_grads(
             jnp.asarray(grads), jnp.asarray(gid), ranges3,
-            jnp.asarray(kept_bounds.astype(np.int32)), p,
+            jnp.asarray(kept_bounds.astype(np.int32)), p, min_rows=0,
         )
     )
     np.testing.assert_allclose(acc, ref, rtol=1e-4, atol=5e-5)
+    # the small-map scatter path must agree too (static size dispatch)
+    acc_sc = np.asarray(
+        _fold_pair_grads(
+            jnp.asarray(grads), jnp.asarray(gid), ranges3,
+            jnp.asarray(kept_bounds.astype(np.int32)), p, min_rows=1 << 30,
+        )
+    )
+    np.testing.assert_allclose(acc_sc, ref, rtol=1e-5, atol=1e-6)
 
 
 def test_fold_pair_grads_ignores_padding_garbage():
@@ -392,7 +400,7 @@ def test_fold_pair_grads_ignores_padding_garbage():
     acc = np.asarray(
         _fold_pair_grads(
             jnp.asarray(grads), jnp.asarray(gid), ranges3,
-            jnp.asarray(kept_bounds.astype(np.int32)), p,
+            jnp.asarray(kept_bounds.astype(np.int32)), p, min_rows=0,
         )
     )
     ref = np.zeros((p, 9), np.float32)
