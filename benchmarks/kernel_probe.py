@@ -750,6 +750,105 @@ def run_fwd_variant(kernel, ranges, pairs, ng, grid_w, chunk, group, nbuf=2):
 
 
 
+def _fwd_kernel_roll(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
+                     ndone_ref, buf_ref, sem, *, grid_w, chunk, group):
+    """Roll-prefix restructure (r4): the 400k-scale probe shows the kernels
+    MXU-dominated (fwd_nomxu 6.7 ms == floor 6.9 vs production 26.0) — the
+    [256,C]@[C,C] segmented-cumsum matmul at HIGHEST (6 passes) is the cost.
+    This variant deletes BOTH [C,C] operators:
+
+      - plain inclusive cumsum over lanes via log2(C) masked pltpu.rolls
+        (VPU, no MXU);
+      - segmentation via the sorted-slot identity (pairs within a chunk are
+        tile-sorted): incl_seg = cums - excl[tile], excl = strict prefix of
+        per-tile totals (one [G,G] matmul);
+      - the four per-tile reductions stay stacked as one [4*256,C]@[C,G].
+    """
+    g_idx = pl.program_id(0)
+    start = ranges_ref[0, g_idx]
+    n = ranges_ref[1, g_idx]
+    n_chunks = pl.cdiv(n, chunk)
+    pstrict = _prefix_strict(group)
+
+    def _dma(c_idx, slot):
+        off = pl.multiple_of(start + c_idx * chunk, chunk)
+        return pltpu.make_async_copy(
+            pairs_hbm.at[:, pl.ds(off, chunk)], buf_ref.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _prologue():
+        _dma(0, 0).start()
+
+    def cond(carry):
+        c_idx, log_raw, _, _ = carry
+        return jnp.logical_and(c_idx < n_chunks, jnp.max(log_raw) >= LOG_T_EPS)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (PIX_PER_TILE, chunk), 1)
+
+    def body(carry):
+        c_idx, log_raw, log_eff, acc = carry
+        slot_i = jax.lax.rem(c_idx, 2)
+
+        @pl.when(c_idx + 1 < n_chunks)
+        def _prefetch():
+            _dma(c_idx + 1, 1 - slot_i).start()
+
+        _dma(c_idx, slot_i).wait()
+        buf = buf_ref[slot_i]
+        alpha, _, _, _, _, slot = _chunk_geom(
+            buf, g_idx, grid_w, group, c_idx * chunk, n
+        )
+        oh = _onehot(slot, group, chunk)  # [G, C]
+        log1m = jnp.log1p(-alpha)  # [256, C]
+        cums = log1m
+        sh = 1
+        while sh < chunk:
+            cums = cums + jnp.where(
+                lane >= sh, pltpu.roll(cums, sh, 1), 0.0
+            )
+            sh *= 2
+        tile_tot = _mm(log1m, oh, (((1,), (1,)),)[0])  # [256, G]
+        excl = _mm(tile_tot, pstrict, (((1,), (0,)),)[0])  # [256, G]
+        adj = _mm(log_raw - excl, oh, (((1,), (0,)),)[0])  # [256, C]
+        s = cums + adj  # == carry_cols + incl of the production kernel
+        t_excl = jnp.exp(s - log1m)
+        applied = (s >= LOG_T_EPS).astype(jnp.float32)
+        w = alpha * t_excl * applied
+        col = buf[6:9, :]
+        x = jnp.concatenate(
+            [w * col[0:1, :], w * col[1:2, :], w * col[2:3, :],
+             log1m * applied],
+            axis=0,
+        )  # [4*256, C]
+        r2 = _mm(x, oh, (((1,), (1,)),)[0])  # [4*256, G]
+        pp = PIX_PER_TILE
+        c0, c1, c2 = r2[0:pp], r2[pp:2 * pp], r2[2 * pp:3 * pp]
+        acc = acc + jnp.concatenate(
+            [c0[:, :, None], c1[:, :, None], c2[:, :, None]], axis=2
+        )
+        log_eff = log_eff + r2[3 * pp:4 * pp]
+        log_raw = log_raw + tile_tot
+        return c_idx + 1, log_raw, log_eff, acc
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((PIX_PER_TILE, group), jnp.float32),
+        jnp.zeros((PIX_PER_TILE, group), jnp.float32),
+        jnp.zeros((PIX_PER_TILE, group, 3), jnp.float32),
+    )
+    c_done, log_raw, log_eff, acc = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(c_done < n_chunks)
+    def _drain():
+        _dma(c_done, jax.lax.rem(c_done, 2)).wait()
+
+    accum_ref[0] = acc
+    teff_ref[0] = log_eff
+    traw_ref[0] = log_raw
+    ndone_ref[0] = jnp.full((1, 1), c_done, jnp.int32)
+
+
 def _fwd_kernel_pair2(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
                       ndone_ref, buf_ref, sem, *, grid_w, chunk, group):
     """Cross-group interleave (r4 VERDICT item 3): each grid cell advances
@@ -982,6 +1081,132 @@ def main(names):
         results["fwd_opt"] = timed(
             "fwd_opt (sorted-slot restructure)",
             chain_fwd(run_opt, ranges, pairs, ng, gw),
+            pairs,
+        )
+    if want("fwd_mixed"):
+        # Halved MXU passes: every production matmul has a 0/1 one-hot/triu
+        # operand that is EXACT in one bf16 term; only the f32 data operand
+        # needs the 3-way bf16 split (8+8+8 mantissa bits covers f32's 24).
+        # Mosaic rejects per-operand dot precision
+        # (`NotImplementedError: Per-operand dot precision unsupported`,
+        # lowering.py:2245), so the split is done by hand: 3 DEFAULT-precision
+        # bf16 passes with f32 accumulation vs HIGHEST's 6.
+        import gsdf_slam_tpu.ops.pallas_blend as pb
+
+        orig = pb._mm
+
+        def _mm_mixed(a, b, dims):
+            bh = b.astype(jnp.bfloat16)
+            a_hi = a.astype(jnp.bfloat16)
+            r1 = a - a_hi.astype(jnp.float32)
+            a_mid = r1.astype(jnp.bfloat16)
+            a_lo = (r1 - a_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (dims, ((), ()))
+            out = None
+            for ap in (a_lo, a_mid, a_hi):  # small terms first
+                t = jax.lax.dot_general(
+                    ap, bh, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                out = t if out is None else out + t
+            return out
+
+        try:
+            pbg._mm = _mm_mixed
+            ref = jax.jit(
+                functools.partial(_run_fwd, ng=ng, grid_w=gw, chunk=128, group=8)
+            )(ranges, pairs)
+            pbg._mm = orig
+            base = jax.jit(
+                functools.partial(_run_fwd, ng=ng, grid_w=gw, chunk=128, group=8)
+            )(ranges, pairs)
+            for nm, r, g in zip(("accum", "teff", "traw", "ndone"), base, ref):
+                d = float(jnp.max(jnp.abs(r.astype(jnp.float32) - g.astype(jnp.float32))))
+                print(f"  fwd_mixed parity {nm}: max|d| = {d:.3e}")
+            pbg._mm = _mm_mixed
+            results["fwd_mixed"] = timed(
+                "fwd_mixed (per-operand precision 3x/1x)",
+                chain_fwd(_run_fwd, ranges, pairs, ng, gw), pairs,
+            )
+            accum, teff, traw, ndone = jax.jit(
+                functools.partial(_run_fwd, ng=ng, grid_w=gw, chunk=128, group=8)
+            )(ranges, pairs)
+            ranges3 = jnp.concatenate([ranges, ndone[:, 0, 0][None, :]], axis=0)
+            rng = np.random.default_rng(0)
+            ct_acc = jnp.asarray(
+                rng.standard_normal(accum.shape).astype(np.float32)
+            )
+            ct_te = jnp.asarray(rng.standard_normal(teff.shape).astype(np.float32))
+            results["bwd_mixed"] = timed(
+                "bwd_mixed (per-operand precision 3x/1x)",
+                chain_bwd(_run_bwd, ranges3, pairs, traw, ct_acc, ct_te, mpa, ng, gw),
+                pairs,
+            )
+        finally:
+            pbg._mm = orig
+    if want("fwd_high"):
+        # Uniform Precision.HIGH (native bf16x3, 3 MXU passes vs HIGHEST's
+        # 6). An earlier 200k-scale measurement found HIGH == HIGHEST speed
+        # (pallas_blend._mm docstring), but that predates the 400k probe
+        # showing the kernels MXU-dominated — re-measure at scale. Exactness:
+        # the 0/1 one-hot/triu operand is exact in ONE bf16 term, so the
+        # 3-term split of the data operand reproduces the f32 product
+        # exactly up to accumulation order.
+        def _mm_high(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, (dims, ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,
+            )
+
+        orig = pbg._mm
+        try:
+            pbg._mm = _mm_high
+            ref = jax.jit(
+                functools.partial(_run_fwd, ng=ng, grid_w=gw, chunk=128, group=8)
+            )(ranges, pairs)
+            pbg._mm = orig
+            base = jax.jit(
+                functools.partial(_run_fwd, ng=ng, grid_w=gw, chunk=128, group=8)
+            )(ranges, pairs)
+            for nm, r, g in zip(("accum", "teff", "traw", "ndone"), base, ref):
+                d = float(jnp.max(jnp.abs(r.astype(jnp.float32) - g.astype(jnp.float32))))
+                print(f"  fwd_high parity {nm}: max|d| = {d:.3e}")
+            pbg._mm = _mm_high
+            results["fwd_high"] = timed(
+                "fwd_high (Precision.HIGH bf16x3)",
+                chain_fwd(_run_fwd, ranges, pairs, ng, gw), pairs,
+            )
+            accum, teff, traw, ndone = jax.jit(
+                functools.partial(_run_fwd, ng=ng, grid_w=gw, chunk=128, group=8)
+            )(ranges, pairs)
+            ranges3 = jnp.concatenate([ranges, ndone[:, 0, 0][None, :]], axis=0)
+            rng = np.random.default_rng(0)
+            ct_acc = jnp.asarray(
+                rng.standard_normal(accum.shape).astype(np.float32)
+            )
+            ct_te = jnp.asarray(rng.standard_normal(teff.shape).astype(np.float32))
+            results["bwd_high"] = timed(
+                "bwd_high (Precision.HIGH bf16x3)",
+                chain_bwd(_run_bwd, ranges3, pairs, traw, ct_acc, ct_te, mpa, ng, gw),
+                pairs,
+            )
+        finally:
+            pbg._mm = orig
+    if want("fwd_roll"):
+        run_roll = functools.partial(run_fwd_variant, _fwd_kernel_roll)
+        ref = jax.jit(
+            functools.partial(_run_fwd, ng=ng, grid_w=gw, chunk=128, group=8)
+        )(ranges, pairs)
+        got = jax.jit(
+            functools.partial(run_roll, ng=ng, grid_w=gw, chunk=128, group=8)
+        )(ranges, pairs)
+        for nm, r, g in zip(("accum", "teff", "traw", "ndone"), ref, got):
+            d = float(jnp.max(jnp.abs(r.astype(jnp.float32) - g.astype(jnp.float32))))
+            print(f"  fwd_roll parity {nm}: max|d| = {d:.3e}")
+        results["fwd_roll"] = timed(
+            "fwd_roll (roll-prefix, no [C,C] matmuls)",
+            chain_fwd(run_roll, ranges, pairs, ng, gw),
             pairs,
         )
     if want("fwd_unroll2"):

@@ -634,7 +634,197 @@ def bench_fold_v4():
 
 
 
-ALL.update({"fold_v3": bench_fold_v3, "searchsorted_p": bench_searchsorted_p, "fold_v4": bench_fold_v4})
+# --------------------------------------------------------------- expand (r4)
+# Candidates to replace the expansion row-gather `table[rank]` ([P,16] ->
+# [MP,16], jvp__.5 in the 400k profile) + the [MP,16]->[16,MP] transpose
+# (transpose_jvp, both ~14-20 ns/row): telescoping bit-deltas scattered at
+# `starts` (P rows, not MP) + an EXACT int32 wraparound cumsum over slots,
+# fused with a Pallas block transpose so the result lands field-major.
+
+
+def _expand_inputs(seed=11):
+    r = np.random.default_rng(seed)
+    tiles = r.integers(0, 6, P).astype(np.int64)
+    tiles = (tiles * (0.95 * MP / max(tiles.sum(), 1))).astype(np.int32)
+    starts = (np.cumsum(tiles) - tiles).astype(np.int32)
+    rank = np.zeros(MP, np.int32)
+    pos = starts[tiles > 0]
+    np.add.at(rank, pos.clip(0, MP - 1), 1)
+    rank = np.maximum(np.cumsum(rank) - 1, 0).astype(np.int32)
+    table_bits = r.integers(-(2**31), 2**31, (P, 16)).astype(np.int64).astype(np.int32)
+    return (
+        jnp.asarray(tiles), jnp.asarray(starts), jnp.asarray(rank),
+        jnp.asarray(table_bits),
+    )
+
+
+def bench_expand_gather_xla():
+    """Today's expand: one [P,16]->[MP,16] row gather by monotone rank."""
+    _, _, rank, table = _expand_inputs()
+    tf = jax.lax.bitcast_convert_type(table, jnp.float32)
+
+    def op(c, rank):
+        rows = c[rank]  # [MP, 16]
+        return c.at[:MP].add(rows[: min(P, MP)][:P] * 1e-30), rank ^ 0
+
+    def run(tf, rank):
+        def body(i, cc):
+            return op(*cc)
+        final = jax.lax.fori_loop(0, REPS, body, (tf, rank))
+        return jnp.sum(final[0][:1])
+
+    fn = jax.jit(run)
+    float(fn(tf, rank))
+    t0 = time.perf_counter()
+    float(fn(tf, rank))
+    dt = (time.perf_counter() - t0) / REPS * 1e3
+    print(f"{'expand row-gather [P,16]->[MP,16]':46s} {dt:8.3f} ms/op")
+
+
+def _bench_expand_pipeline(name, split):
+    """gather -> transpose as production composes them. With split=False the
+    two fuse into ONE transpose-rooted fusion (the suspected pathology: the
+    fusion's output is written column-wise so the row-loop gather degrades);
+    split=True puts an optimization_barrier between them so each runs in its
+    isolated (fast) form."""
+    _, _, rank, table = _expand_inputs()
+    tf = jax.lax.bitcast_convert_type(table, jnp.float32)
+
+    def op(c, rank):
+        rows = c[rank]  # [MP, 16]
+        if split:
+            rows = jax.lax.optimization_barrier(rows)
+        cols = jax.lax.optimization_barrier(rows.T)  # [16, MP]
+        return c.at[:1, :].add(cols[:, :1].T * 1e-30), rank ^ 0
+
+    def run(tf, rank):
+        def body(i, cc):
+            return op(*cc)
+        final = jax.lax.fori_loop(0, REPS, body, (tf, rank))
+        return jnp.sum(final[0][:1])
+
+    fn = jax.jit(run)
+    float(fn(tf, rank))
+    t0 = time.perf_counter()
+    float(fn(tf, rank))
+    dt = (time.perf_counter() - t0) / REPS * 1e3
+    print(f"{name:46s} {dt:8.3f} ms/op")
+
+
+def bench_expand_fused():
+    _bench_expand_pipeline("expand gather+transpose FUSED (production)", False)
+
+
+def bench_expand_split():
+    _bench_expand_pipeline("expand gather |barrier| transpose SPLIT", True)
+
+
+def bench_expand_transpose_xla():
+    """Today's post-expand transpose [MP,16] -> [16,MP] in XLA."""
+    r = np.random.default_rng(12)
+    x = jnp.asarray(r.standard_normal((MP, 16)).astype(np.float32))
+
+    def op(c):
+        t = c.T  # [16, MP]
+        return c + t[:1, :].T * 1e-30
+
+    timed("expand transpose [MP,16]->[16,MP] XLA", op, x)
+
+
+def bench_expand_scatter_delta():
+    """Delta scatter: [P,16] int rows added at starts into [MP,16]."""
+    tiles, starts, _, table = _expand_inputs()
+    delta = jnp.diff(table, axis=0, prepend=jnp.zeros((1, 16), jnp.int32))
+
+    def op(c, starts, delta):
+        out = jnp.zeros((MP, 16), jnp.int32).at[starts].add(
+            delta, mode="drop"
+        )
+        return c ^ (out[:P] & 1), starts ^ 0, delta
+
+    def run(c, starts, delta):
+        def body(i, cc):
+            return op(*cc)
+        final = jax.lax.fori_loop(0, REPS, body, (c, starts, delta))
+        return jnp.sum(final[0][:1].astype(jnp.float32))
+
+    fn = jax.jit(run)
+    float(fn(table, starts, delta))
+    t0 = time.perf_counter()
+    float(fn(table, starts, delta))
+    dt = (time.perf_counter() - t0) / REPS * 1e3
+    print(f"{'expand delta-scatter [P,16]-rows->[MP,16]':46s} {dt:8.3f} ms/op")
+
+
+def bench_expand_cumsum_int():
+    """int32 wraparound cumsum along axis 0 of [MP,16] in plain XLA."""
+    r = np.random.default_rng(13)
+    x = jnp.asarray(
+        r.integers(-(2**31), 2**31, (MP, 16)).astype(np.int64).astype(np.int32)
+    )
+
+    def op(c):
+        return jnp.cumsum(c, axis=0)
+
+    timed("expand int32 cumsum [MP,16] axis0 XLA", op, x)
+
+
+XP_BLK = 512
+
+
+def _xpose_cumsum_kernel(x_ref, out_ref, carry_ref):
+    """[BLK,16] int32 block -> transposed [16,BLK] inclusive cumsum along
+    lanes with a cross-block running carry (grid is sequential)."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    t = x_ref[...].T  # [16, BLK]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (16, XP_BLK), 1)
+    s = t
+    sh = 1
+    while sh < XP_BLK:
+        r = pltpu.roll(s, sh, 1)
+        s = s + jnp.where(lane >= sh, r, 0)
+        sh *= 2
+    s = s + carry_ref[:, :1]
+    out_ref[...] = s
+    carry_ref[...] = jnp.broadcast_to(s[:, XP_BLK - 1 : XP_BLK], (16, 128))
+
+
+def bench_expand_xpose_cumsum_pallas():
+    """Fused Pallas transpose + exact int32 cumsum: [MP,16] -> [16,MP]."""
+    r = np.random.default_rng(13)
+    x = jnp.asarray(
+        r.integers(-(2**31), 2**31, (MP, 16)).astype(np.int64).astype(np.int32)
+    )
+    nb = MP // XP_BLK
+    call = pl.pallas_call(
+        _xpose_cumsum_kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((XP_BLK, 16), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((16, XP_BLK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, MP), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )
+    # correctness vs XLA before timing
+    ref = jnp.cumsum(x[: 4 * XP_BLK].astype(jnp.int32), axis=0).T
+    got = np.asarray(call(x))[:, : 4 * XP_BLK]
+    assert np.array_equal(np.asarray(ref), got), "pallas cumsum mismatch"
+
+    def op(c):
+        out = call(c)
+        return c.at[:16].set(c[:16] ^ (out[:, :16].T & 1))
+
+    timed("expand pallas xpose+int-cumsum [MP,16]", op, x)
+
+
+ALL.update({"fold_v3": bench_fold_v3, "searchsorted_p": bench_searchsorted_p, "fold_v4": bench_fold_v4, "expand_gather": bench_expand_gather_xla, "expand_transpose": bench_expand_transpose_xla, "expand_scatter": bench_expand_scatter_delta, "expand_cumsum": bench_expand_cumsum_int, "expand_pallas": bench_expand_xpose_cumsum_pallas, "expand_fused": bench_expand_fused, "expand_split": bench_expand_split})
 
 
 if __name__ == "__main__":
