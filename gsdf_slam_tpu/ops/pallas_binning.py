@@ -65,39 +65,80 @@ def _as_i(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+# chunks moved per realign DMA window: the kernel is DMA-LATENCY-bound
+# (one 8 KB in + one 8 KB out per chunk is ~0.2 ms of bandwidth but ~5 ms
+# of serialized latency at 400k scale), so move W chunks per window and
+# double-buffer the in/out streams. A window may overhang its group's
+# aligned region by up to (W-1)*chunk lanes — harmless: groups execute in
+# grid order on one core, so the NEXT group rewrites every byte of its own
+# region afterwards, and only the LAST group needs tail slack in mpa.
+REALIGN_W = 4
+
+
 def _realign_kernel(tbl_ref, src_hbm, dst_hbm, buf_ref, obuf_ref, sem_in, sem_out,
                     *, chunk):
     """Copy each group's contiguous sorted run to its chunk-aligned start.
 
     Source offsets are arbitrary, and TPU DMA lane slices must be 128-
-    aligned — so each chunk reads a [16, chunk+128] window from the aligned
-    floor and rotates the misalignment away (pltpu.roll is a bitwise lane
-    shuffle, safe for the bitcast int rows)."""
+    aligned — so each window reads a [16, W*chunk+128] block from the
+    aligned floor and rotates the misalignment away (pltpu.roll is a
+    bitwise lane shuffle, safe for the bitcast int rows). In/out DMA
+    streams are double-buffered across windows: window w+1 streams in and
+    window w-1 drains out while window w rotates."""
     g = pl.program_id(0)
     gfs = tbl_ref[0, g]  # first sorted slot of the group (arbitrary)
     dst0 = tbl_ref[1, g]  # chunk-aligned destination start
     nch = tbl_ref[2, g]  # ceil(count / chunk) chunks to move
+    nwin = (nch + REALIGN_W - 1) // REALIGN_W
+    wlanes = REALIGN_W * chunk
     base = gfs // 128 * 128
     shift = gfs - base
 
-    def body(j, _):
-        src = pl.multiple_of(base + j * chunk, 128)
-        dma = pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(src, chunk + 128)], buf_ref, sem_in
+    def _in_dma(w, slot):
+        src = pl.multiple_of(base + w * wlanes, 128)
+        return pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(src, wlanes + 128)], buf_ref.at[slot],
+            sem_in.at[slot],
         )
-        dma.start()
-        dma.wait()
-        obuf_ref[:] = pltpu.roll(buf_ref[:], -shift, 1)[:, :chunk]
-        out = pltpu.make_async_copy(
-            obuf_ref,
-            dst_hbm.at[:, pl.ds(pl.multiple_of(dst0 + j * chunk, chunk), chunk)],
-            sem_out,
+
+    def _out_dma(w, slot):
+        dst = pl.multiple_of(dst0 + w * wlanes, chunk)
+        return pltpu.make_async_copy(
+            obuf_ref.at[slot], dst_hbm.at[:, pl.ds(dst, wlanes)],
+            sem_out.at[slot],
         )
-        out.start()
-        out.wait()
+
+    @pl.when(nwin > 0)
+    def _prologue():
+        _in_dma(0, 0).start()
+
+    def body(w, _):
+        slot = jax.lax.rem(w, 2)
+
+        @pl.when(w + 1 < nwin)
+        def _prefetch():
+            _in_dma(w + 1, 1 - slot).start()
+
+        _in_dma(w, slot).wait()
+
+        # the write two windows back reused this obuf slot — drain it
+        @pl.when(w >= 2)
+        def _drain_prev():
+            _out_dma(w - 2, slot).wait()
+
+        obuf_ref[slot] = pltpu.roll(buf_ref[slot], -shift, 1)[:, :wlanes]
+        _out_dma(w, slot).start()
         return 0
 
-    jax.lax.fori_loop(0, nch, body, 0, unroll=False)
+    jax.lax.fori_loop(0, nwin, body, 0, unroll=False)
+
+    @pl.when(nwin > 1)
+    def _drain_m2():
+        _out_dma(nwin - 2, jax.lax.rem(nwin - 2, 2)).wait()
+
+    @pl.when(nwin > 0)
+    def _drain_m1():
+        _out_dma(nwin - 1, jax.lax.rem(nwin - 1, 2)).wait()
 
 
 @functools.lru_cache(maxsize=32)
@@ -105,16 +146,17 @@ def _make_realign(ng: int, src_lanes: int, mpa: int, chunk: int):
     # interpret mode keeps the fused path testable off-TPU (CPU suite /
     # multichip dryrun); Mosaic compiles it natively on the chip.
     interpret = jax.default_backend() != "tpu"
+    wlanes = REALIGN_W * chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((PACK, chunk + 128), jnp.float32),
-            pltpu.VMEM((PACK, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, PACK, wlanes + 128), jnp.float32),
+            pltpu.VMEM((2, PACK, wlanes), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -245,10 +287,12 @@ def sort_expand_pack(
     packed = jnp.stack(
         list(sorted_ops[2:11]) + [slot_f, gid_f, z, z, z, z, z], axis=0
     )  # [16, MP]
-    src_lanes = mp + chunk + 256  # window slack for the last group's chunks
+    # window slack for the last group's read overhang (W-chunk windows)
+    src_lanes = mp + REALIGN_W * chunk + 256
     packed = jnp.pad(packed, ((0, 0), (0, src_lanes - mp)))
 
-    mpa = mp + ng * chunk
+    # + (W-1)*chunk: the last group's final window may overhang its region
+    mpa = mp + ng * chunk + (REALIGN_W - 1) * chunk
     tbl = jnp.stack([g_first_slot, gstarts, gsizes // chunk], axis=0)
     (pairs,) = _make_realign(ng, src_lanes, mpa, chunk)(tbl, packed)
     ranges = jnp.stack([gstarts, gcounts], axis=0)

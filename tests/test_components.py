@@ -407,3 +407,91 @@ def test_fold_pair_grads_ignores_padding_garbage():
     ref[1] = 2.0
     ref[2] = 1.0
     np.testing.assert_allclose(acc, ref, atol=1e-6)
+
+
+def test_sort_expand_pack_matches_xla_binning_at_window_scale():
+    """Randomized content parity of the fused binning (incl. the windowed
+    double-buffered realign, REALIGN_W=4) against the independent XLA
+    binning path (ops/binning.bin_gaussians) at a scale that forces
+    multi-window groups (nch > REALIGN_W) and cross-group write overhang:
+    per tile, the depth-ordered gaussian-id lists must be identical, and
+    the packed payload rows must match the gathered per-gaussian fields."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsdf_slam_tpu.ops.binning import bin_gaussians
+    from gsdf_slam_tpu.ops.pallas_binning import sort_expand_pack
+    from gsdf_slam_tpu.ops.projection import Preprocessed
+
+    rng = np.random.default_rng(42)
+    p, gw, gh, group, chunk = 2000, 10, 6, 8, 128
+    num_tiles = gw * gh
+    rx = rng.integers(0, gw - 1, p)
+    ry = rng.integers(0, gh - 1, p)
+    w = rng.integers(1, 4, p)
+    h = rng.integers(1, 4, p)
+    rect_min = np.stack([rx, ry], 1).astype(np.int32)
+    rect_max = np.stack(
+        [np.minimum(rx + w, gw), np.minimum(ry + h, gh)], 1
+    ).astype(np.int32)
+    tiles = ((rect_max - rect_min).prod(1)).astype(np.int32)
+    tiles[rng.uniform(size=p) < 0.1] = 0  # some culled gaussians
+    depths = rng.uniform(0.5, 20.0, p).astype(np.float32)
+    # means centered in the rect with wide conics: per-tile opacity cull
+    # keeps everything (this test pins LAYOUT; cull parity is shared code)
+    means2d = (rect_min * 16 + 8).astype(np.float32)
+    conics = np.tile(np.asarray([[1e-4, 0.0, 1e-4]], np.float32), (p, 1))
+    opac = np.full(p, 0.9, np.float32)
+    colors = rng.uniform(0, 1, (p, 3)).astype(np.float32)
+    max_pairs = 1 << 14
+
+    sp = jax.jit(
+        lambda *a: sort_expand_pack(
+            *a, grid_w=gw, grid_h=gh, max_pairs=max_pairs,
+            chunk=chunk, group=group,
+        )
+    )(depths, rect_min, rect_max, tiles, jnp.asarray(means2d),
+      jnp.asarray(conics), jnp.asarray(opac), jnp.asarray(colors))
+
+    pre = Preprocessed(
+        means2d=jnp.asarray(means2d), depths=jnp.asarray(depths),
+        conics=jnp.asarray(conics), colors=jnp.asarray(colors),
+        radii=jnp.ones(p, jnp.int32), rect_min=jnp.asarray(rect_min),
+        rect_max=jnp.asarray(rect_max), tiles_touched=jnp.asarray(tiles),
+    )
+    binned = jax.jit(
+        lambda pr, op: bin_gaussians(
+            pr, op, grid_w=gw, grid_h=gh, max_pairs=max_pairs
+        )
+    )(pre, jnp.asarray(opac))
+
+    total = int(sp.total_pairs)
+    assert total == int(binned.total_pairs) and total > 6000
+    ranges = np.asarray(sp.ranges)
+    # force the windowed path: at least one group must span > 4 chunks
+    assert (np.ceil(ranges[1] / chunk) > 4).any()
+
+    gid = np.asarray(
+        jax.lax.bitcast_convert_type(sp.pairs[10], jnp.int32)
+    )
+    slot = np.asarray(sp.pairs[9])
+    pair_tile = np.asarray(binned.pair_tile)
+    pair_gauss = np.asarray(binned.pair_gauss)
+    payload = np.asarray(sp.pairs)
+
+    ng = (num_tiles + group - 1) // group
+    for g in range(ng):
+        start, count = int(ranges[0, g]), int(ranges[1, g])
+        lane_tile = g * group + slot[start : start + count].astype(np.int32)
+        lane_gid = gid[start : start + count]
+        for t in range(g * group, min((g + 1) * group, num_tiles)):
+            want = pair_gauss[pair_tile == t]
+            got = lane_gid[lane_tile == t]
+            np.testing.assert_array_equal(got, want)
+        # payload rows carried through sort + windowed realign intact
+        np.testing.assert_allclose(
+            payload[0, start : start + count], means2d[lane_gid, 0]
+        )
+        np.testing.assert_allclose(
+            payload[8, start : start + count], colors[lane_gid, 2]
+        )
