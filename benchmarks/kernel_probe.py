@@ -1091,9 +1091,8 @@ def main(names):
         # (`NotImplementedError: Per-operand dot precision unsupported`,
         # lowering.py:2245), so the split is done by hand: 3 DEFAULT-precision
         # bf16 passes with f32 accumulation vs HIGHEST's 6.
-        import gsdf_slam_tpu.ops.pallas_blend as pb
 
-        orig = pb._mm
+        orig = pbg._mm
 
         def _mm_mixed(a, b, dims):
             bh = b.astype(jnp.bfloat16)

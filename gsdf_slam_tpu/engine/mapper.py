@@ -228,6 +228,12 @@ class GaussianMapper:
         self._prewarm_pool = None
         self._prewarm_futs: dict = {}
         self._prewarm_done: set = set()
+        # observability: variants the background prewarm actually compiled,
+        # and failure classes already reported (log once per class — a
+        # silent `except: pass` here cost r3's cold-start fix its proof,
+        # VERDICT r4 item 3)
+        self._prewarm_compiled: list = []
+        self._prewarm_failed: set = set()
 
     # ------------------------------------------------------------------ run
     def run(self) -> None:
@@ -450,12 +456,13 @@ class GaussianMapper:
         variant takes (shapes must match ops/pallas_binning exactly)."""
         import jax
 
+        from ..ops.pallas_binning import mpa_for
         from ..ops.pallas_blend_grouped import BinningCache
         from ..ops.projection import tile_grid
 
         gw, gh = tile_grid(cfg.width, cfg.height)
         ng = -(-(gw * gh) // cfg.pallas_group)
-        mpa = cfg.max_pairs + ng * cfg.pallas_chunk
+        mpa = mpa_for(cfg.max_pairs, ng, cfg.pallas_chunk)
         p = self.state.capacity
         i32, f32 = jnp.int32, jnp.float32
         sds = jax.ShapeDtypeStruct
@@ -509,8 +516,21 @@ class GaussianMapper:
                     kw["binning_cache"] = abs_cache if mode == "cached" else None
                     kw["export_binning_cache"] = mode == "export"
                     train_step.lower(*a_abs, **kw).compile()
-            except Exception:
-                pass  # fg compiles normally on a failed/missing prewarm
+                    self._prewarm_compiled.append(sig + (acc, mode))
+            except Exception as exc:
+                # fg compiles normally on a failed/missing prewarm, but a
+                # systematically failing prewarm silently reintroduces the
+                # serial cold start — surface each failure class once
+                cls = type(exc).__name__
+                if cls not in self._prewarm_failed:
+                    self._prewarm_failed.add(cls)
+                    import sys
+
+                    print(
+                        f"[gsdf] prewarm({mode}, acc={acc}) failed "
+                        f"[{cls}]: {exc}",
+                        file=sys.stderr,
+                    )
             finally:
                 ev.set()
 

@@ -75,6 +75,17 @@ def _as_i(x: jnp.ndarray) -> jnp.ndarray:
 REALIGN_W = 4
 
 
+def mpa_for(max_pairs: int, ng: int, chunk: int) -> int:
+    """Padded length of the [16, MPA] pair array sort_expand_pack emits.
+
+    max_pairs data lanes + per-group chunk-alignment slack (ng * chunk) +
+    the last group's realign-window read overhang ((W-1) * chunk). The
+    SINGLE source of truth — the mapper's abstract BinningCache skeleton
+    (engine/mapper.py) must produce exactly this shape or its AOT-prewarmed
+    executables never hit the cache."""
+    return max_pairs + ng * chunk + (REALIGN_W - 1) * chunk
+
+
 def _realign_kernel(tbl_ref, src_hbm, dst_hbm, buf_ref, obuf_ref, sem_in, sem_out,
                     *, chunk):
     """Copy each group's contiguous sorted run to its chunk-aligned start.
@@ -291,8 +302,7 @@ def sort_expand_pack(
     src_lanes = mp + REALIGN_W * chunk + 256
     packed = jnp.pad(packed, ((0, 0), (0, src_lanes - mp)))
 
-    # + (W-1)*chunk: the last group's final window may overhang its region
-    mpa = mp + ng * chunk + (REALIGN_W - 1) * chunk
+    mpa = mpa_for(mp, ng, chunk)
     tbl = jnp.stack([g_first_slot, gstarts, gsizes // chunk], axis=0)
     (pairs,) = _make_realign(ng, src_lanes, mpa, chunk)(tbl, packed)
     ranges = jnp.stack([gstarts, gcounts], axis=0)

@@ -191,3 +191,35 @@ def test_sh_degree_sizes_f_rest(tmp_path):
     props = read_ply(ply)
     rest_cols = [k for k in props if k.startswith("f_rest_")]
     assert len(rest_cols) == 9  # 3 coeffs x 3 channels, degree-1 layout
+
+
+def test_prewarm_abstract_cache_matches_real_export():
+    """The AOT-prewarm's abstract BinningCache skeleton must match the
+    shapes a real export step produces BIT-EXACTLY, or every prewarmed
+    executable lowers against shapes that never occur and silently misses
+    the persistent cache (ADVICE r4 medium: the mpa formula in the mapper
+    had drifted from ops/pallas_binning's realign-overhang slack)."""
+    import jax
+
+    from gsdf_slam_tpu.engine.train import render_state
+
+    frames = make_frames(n=1)
+    m = _mapper(frames, backend="pallas")
+    m.ingest_frame(0, frames[0])
+    cfg = m._raster_cfg(32, 32)
+    assert cfg.use_pallas() and cfg.pallas_group > 1
+    kf = next(iter(m.scene.keyframes.values()))
+    out = render_state(
+        m.state,
+        kf.camera_matrices(m.settings.z_near, m.settings.z_far),
+        np.zeros(3, np.float32),
+        cfg,
+        export_binning_cache=True,
+    )
+    real = jax.tree.map(
+        lambda x: (tuple(x.shape), str(x.dtype)), out.binning_cache
+    )
+    abstract = jax.tree.map(
+        lambda x: (tuple(x.shape), str(x.dtype)), m._abstract_cache(cfg)
+    )
+    assert real == abstract
