@@ -41,6 +41,7 @@ def run_quality(
     rebin_after: int = 0,
     pipeline: int = 0,
     eval_at: list[int] | None = None,
+    reset_interval: int = 3000,
 ):
     import jax.numpy as jnp
 
@@ -57,7 +58,7 @@ def run_quality(
             densification_interval=100,
             densify_from_iter=min(500, max(50, iterations // 6)),
             densify_until_iter=max(1000, iterations // 2),
-            opacity_reset_interval=3000,
+            opacity_reset_interval=reset_interval,
         ),
         new_keyframe_times_of_use=times_of_use,
         do_inactive_geo_densify=False,  # RGB-D mode: dense depth available
@@ -111,9 +112,10 @@ def run_quality(
     t0 = time.time()
     eval_s = 0.0
     frames = make_sequence(n_frames, width, height, fov, hard=hard)
+    out = None
     for i, (pose, rgb, depth) in enumerate(frames):
         mapper.feed_keyframe(i, pose, rgb, depth=depth, intrinsics=intr)
-        mapper.train_for_one_iteration()
+        out = mapper.train_for_one_iteration()
     while mapper.iteration < iterations:
         out = mapper.train_for_one_iteration()
         if progress and mapper.iteration % 500 == 0:
@@ -130,6 +132,9 @@ def run_quality(
                 "iteration": mapper.iteration,
                 "psnr_mean": float(np.mean(ps)),
                 "ssim_mean": float(np.mean(ss)),
+                # training-view PSNR of the latest step: held-out vs train
+                # gap is the overfit diagnostic (VERDICT r4 curve analysis)
+                "train_psnr": round(float(out["psnr"]), 2) if out else None,
                 "gaussians": int(mapper.state.count),
                 "wall_s": round(time.time() - t0 - eval_s, 1),
             })
@@ -162,6 +167,8 @@ def run_quality(
         "rebin_interval": rebin_interval,
         "rebin_interval_after_densify": rebin_after,
         "metrics_pipeline_depth": pipeline,
+        "opacity_reset_interval": reset_interval,
+        "train_psnr_final": round(float(out["psnr"]), 2) if out else None,
     }
 
 
@@ -203,6 +210,15 @@ def main():
                     "training held-out evals (e.g. 1000,3000,6000,10000,"
                     "15000); writes QUALITY_CURVE.json instead of "
                     "QUALITY.json")
+    ap.add_argument("--tag", default="",
+                    help="write curve artifacts to QUALITY_CURVE_<tag>.json "
+                    "(and skip the QUALITY.md append) — for diagnostic runs "
+                    "that must not clobber the committed curve")
+    ap.add_argument("--reset-interval", type=int, default=3000,
+                    help="opacity_reset_interval (0 disables; the curve "
+                    "diagnosis compares reset vs no-reset trajectories — "
+                    "evals that land right AFTER a reset measure the reset "
+                    "crater, not convergence)")
     ap.add_argument("--pipeline", type=int, default=0,
                     help="Mapper.metrics_pipeline_depth: keep N steps in "
                     "flight before blocking on metrics (0 = reference-"
@@ -233,7 +249,8 @@ def main():
                       capacity=args.capacity, max_pairs=args.max_pairs,
                       hard=not args.easy, mesh=mesh,
                       rebin_interval=args.rebin, rebin_after=args.rebin_after,
-                      pipeline=args.pipeline, eval_at=eval_at)
+                      pipeline=args.pipeline, eval_at=eval_at,
+                      reset_interval=args.reset_interval)
     if args.mesh:
         res["mesh_devices"] = args.mesh
     res["platform"] = jax.default_backend()
@@ -287,7 +304,11 @@ gradients on replicated state (`GaussianMapper(mesh=...)`).
     if eval_at:
         # convergence-curve evidence (VERDICT r3 item 4) is a SEPARATE
         # artifact: the committed QUALITY.json baseline stays the r3 config
-        (root / "QUALITY_CURVE.json").write_text(json.dumps(res, indent=2) + "\n")
+        name = f"QUALITY_CURVE_{args.tag}.json" if args.tag else "QUALITY_CURVE.json"
+        (root / name).write_text(json.dumps(res, indent=2) + "\n")
+        if args.tag:
+            print(f"wrote {name}")
+            return
         md_path = root / "QUALITY.md"
         base = md_path.read_text() if md_path.exists() else ""
         marker = "\n## Convergence curve"

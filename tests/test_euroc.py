@@ -136,3 +136,27 @@ def test_euroc_rotated_rig_plane_geometry(tmp_path):
     coef, *_ = np.linalg.lstsq(a_mat, pts[:, 2], rcond=None)
     assert abs(coef[0]) < 0.02, f"plane tilted in x: slope {coef[0]}"
     assert abs(coef[1]) < 0.02, f"plane tilted in y: slope {coef[1]}"
+
+
+def test_train_euroc_stereo_demo(fake_euroc, tmp_path, monkeypatch):
+    """BASELINE config #4 entrypoint end-to-end on the synthetic rig:
+    rectify -> SGBM -> feed_keyframe -> live render/eval -> results
+    (VERDICT r4 item 6; mirrors scripts/euroc_stereo.sh)."""
+    import importlib
+    import json
+    import sys
+
+    demo = importlib.import_module("demo.train_euroc_stereo")
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "train_euroc_stereo.py", str(fake_euroc),
+        "--extra-iterations", "3", "--eval-interval", "1",
+        "--cloud-stride", "8", "--capacity", "4096",
+        "--output", str(out),
+    ])
+    demo.main()
+    evals = json.loads((out / "live_eval.json").read_text())
+    assert len(evals) == 1 and np.isfinite(evals[0]["psnr_db"])
+    assert evals[0]["gaussians"] > 0
+    plys = list(out.rglob("*.ply"))
+    assert plys, "no PLY checkpoint written"
