@@ -27,6 +27,7 @@ the parity tests); blend order within a tile is unchanged.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -384,10 +385,15 @@ class BinningCache(NamedTuple):
 # scatter-add costs ~16 ns/row at 230k rows growing to ~55 ns/row at 1.2M
 # (superlinear); the sorted fold costs a near-constant ~6-10 ms dominated
 # by the [P]-row kept_bounds gather + the 10-operand sort. Measured 2026-08
-# (benchmarks/microbench.py fold / fold_v4; bench.py KITTI + legacy_200k vs
-# the 400k/800k converged points): scatter wins below ~0.4M rows, sorted
-# wins 6.5x at 1.2M. The choice is static per jit signature.
-_SORTED_FOLD_MIN_ROWS = 393216
+# on TPU v5e (benchmarks/microbench.py fold / fold_v4; bench.py KITTI +
+# legacy_200k vs the 400k/800k converged points): scatter wins below ~0.4M
+# rows, sorted wins 6.5x at 1.2M. The choice is static per jit signature.
+#
+# The default is a v5e-measured constant — on a DIFFERENT TPU generation
+# re-derive it with `python benchmarks/fold_crossover.py` (measures both
+# paths over an MPA grid and prints the crossover) and pin the result via
+# the GSDF_FOLD_CROSSOVER env var, which overrides the default at import.
+_SORTED_FOLD_MIN_ROWS = int(os.environ.get("GSDF_FOLD_CROSSOVER", 393216))
 
 
 def _fold_pair_grads(pair_grads, gid, ranges3, kept_bounds, p,
