@@ -102,7 +102,13 @@ GRAN = 16384  # mapper._autosize_pairs granularity
 # prints updated values to stderr); constants keep the driver-budget path
 # free of the count-fn compile + 24 relay probes. The scene is a seeded
 # deterministic construction, so the constants are exact re-runs.
-CALIB: dict = {}
+CALIB: dict = {
+    # measured 2026-08-20 on the live v5e chip (TPU v5 lite)
+    "1200x680/100000": {"mult": 1.29684, "max_pairs": 294912},
+    "1200x680/200000": {"mult": 1.83401, "max_pairs": 573440},
+    "1200x680/400000": {"mult": 2.59368, "max_pairs": 1146880},
+    "1200x680/800000": {"mult": 3.66802, "max_pairs": 2293760},
+}
 
 
 def _capacity_for(n: int) -> int:

@@ -86,8 +86,27 @@ def _onehot(slot, group, chunk):
 
 
 # ---------------------------------------------------------------------- fwd
-def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
-                ndone_ref, buf_ref, sem, *, grid_w, chunk, group):
+def _fwd_kernel(ranges_ref, pairs_hbm, *rest, grid_w, chunk, group,
+                keep_margin=None):
+    """Grouped fwd blend. With ``keep_margin`` (the export variant) the
+    kernel additionally streams a per-pair LIVENESS row to HBM: a pair is
+    kept iff some pixel has alpha > 0 while the exclusive transmittance is
+    still >= T_EPS/keep_margin — i.e. the pair contributes to the image or
+    to any surviving pair's gradient, with a x-margin slack so the pruned
+    cache stays valid as parameters drift across the reuse cadence. Dead
+    pairs are EXACTLY zero-contribution at export parameters: removing
+    them changes neither the image nor any surviving gradient (see
+    build_pruned_cache)."""
+    if keep_margin is None:
+        (accum_ref, teff_ref, traw_ref, ndone_ref, buf_ref, sem) = rest
+        keep_hbm = kbuf_ref = ksem = None
+        log_exit = LOG_T_EPS
+    else:
+        (_zeros_keep, accum_ref, teff_ref, traw_ref, ndone_ref, keep_hbm,
+         buf_ref, kbuf_ref, sem, ksem) = rest
+        # relaxed exit so the margin band is fully observed before the
+        # group-level termination stops writing keep rows
+        log_exit = LOG_T_EPS - float(np.log(keep_margin))
     g_idx = pl.program_id(0)
     start = ranges_ref[0, g_idx]
     n = ranges_ref[1, g_idx]
@@ -103,13 +122,20 @@ def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
             pairs_hbm.at[:, pl.ds(off, chunk)], buf_ref.at[slot], sem.at[slot]
         )
 
+    def _keep_dma(c_idx, slot):
+        off = pl.multiple_of(start + c_idx * chunk, chunk)
+        return pltpu.make_async_copy(
+            kbuf_ref.at[slot], keep_hbm.at[:, pl.ds(off, chunk)],
+            ksem.at[slot],
+        )
+
     @pl.when(n_chunks > 0)
     def _prologue():
         _dma(0, 0).start()
 
     def cond(carry):
         c_idx, log_raw, _, _ = carry
-        return jnp.logical_and(c_idx < n_chunks, jnp.max(log_raw) >= LOG_T_EPS)
+        return jnp.logical_and(c_idx < n_chunks, jnp.max(log_raw) >= log_exit)
 
     def body(carry):
         c_idx, log_raw, log_eff, acc = carry  # [256,G], [256,G], [256,G,3]
@@ -143,6 +169,19 @@ def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
         acc = acc + jnp.concatenate(adds, axis=2)  # [256, G, 3]
         log_raw = log_raw + _mm(log1m, oh, (((1,), (1,)),)[0])
         log_eff = log_eff + _mm(log1m * applied, oh, (((1,), (1,)),)[0])
+
+        if keep_margin is not None:
+            excl_log = carry_cols + (incl - log1m)
+            live = (alpha > 0.0) & (excl_log >= log_exit)
+            keep_row = jnp.max(live.astype(jnp.float32), axis=0,
+                               keepdims=True)  # [1, C]
+            # the write two iterations back reused this kbuf slot
+            @pl.when(c_idx >= 2)
+            def _drain_keep():
+                _keep_dma(c_idx - 2, slot_i).wait()
+
+            kbuf_ref[slot_i] = jnp.broadcast_to(keep_row, (8, chunk))
+            _keep_dma(c_idx, slot_i).start()
         return c_idx + 1, log_raw, log_eff, acc
 
     init = (
@@ -159,40 +198,78 @@ def _fwd_kernel(ranges_ref, pairs_hbm, accum_ref, teff_ref, traw_ref,
     def _drain():
         _dma(c_done, jax.lax.rem(c_done, 2)).wait()
 
+    if keep_margin is not None:
+        # drain the last two keep writes before the kernel ends
+        @pl.when(c_done > 1)
+        def _drain_k2():
+            _keep_dma(c_done - 2, jax.lax.rem(c_done - 2, 2)).wait()
+
+        @pl.when(c_done > 0)
+        def _drain_k1():
+            _keep_dma(c_done - 1, jax.lax.rem(c_done - 1, 2)).wait()
+
     accum_ref[0] = acc
     teff_ref[0] = log_eff
     traw_ref[0] = log_raw
     ndone_ref[0] = jnp.full((1, 1), c_done, jnp.int32)
 
 
-def _run_fwd(ranges, pairs, ng, grid_w, chunk, group):
+def _run_fwd(ranges, pairs, ng, grid_w, chunk, group, keep_margin=None):
+    """Production fwd launch. With ``keep_margin`` also returns the
+    per-pair keep row [8, MPA] (row 0 is the mask; rows are identical —
+    sublane-tiled DMA) for build_pruned_cache."""
+    out_specs = [
+        pl.BlockSpec((1, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
+        pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+        pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
+        pl.BlockSpec((1, 1, 1), lambda i, r: (i, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group, 3), jnp.float32),
+        jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
+        jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
+        jax.ShapeDtypeStruct((ng, 1, 1), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((2, PACK, chunk), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    mpa = pairs.shape[1]
+    inputs = (ranges, pairs)
+    kwargs = {}
+    if keep_margin is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(jax.ShapeDtypeStruct((8, mpa), jnp.float32))
+        scratch += [
+            pltpu.VMEM((2, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        # scratch order must match the kernel's ref order: bufs then sems
+        scratch = [scratch[0], scratch[2], scratch[1], scratch[3]]
+        inputs = (ranges, pairs, jnp.zeros((8, mpa), jnp.float32))
+        # early-terminated / never-visited regions must read keep = 0
+        kwargs = dict(
+            input_output_aliases={2: 4},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((1, PIX_PER_TILE, group, 3), lambda i, r: (i, 0, 0, 0)),
-            pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
-            pl.BlockSpec((1, PIX_PER_TILE, group), lambda i, r: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i, r: (i, 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, PACK, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_w=grid_w, chunk=chunk, group=group),
+        functools.partial(_fwd_kernel, grid_w=grid_w, chunk=chunk,
+                          group=group, keep_margin=keep_margin),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group, 3), jnp.float32),
-            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
-            jax.ShapeDtypeStruct((ng, PIX_PER_TILE, group), jnp.float32),
-            jax.ShapeDtypeStruct((ng, 1, 1), jnp.int32),
-        ],
+        out_shape=out_shape,
         # interpret mode keeps the production kernels testable off-TPU
         interpret=jax.default_backend() != "tpu",
-    )(ranges, pairs)
+        **kwargs,
+    )(*inputs)
 
 
 # ---------------------------------------------------------------------- bwd
@@ -379,6 +456,86 @@ class BinningCache(NamedTuple):
     slot: jnp.ndarray  # [MPA] f32 tile-within-group of each pair
     total_pairs: jnp.ndarray  # [] int32 pair count at build time
     kept_bounds: jnp.ndarray  # [P] int32 prefix kept-pair counts (fold-v4)
+
+
+def build_pruned_cache(ranges, gid, slot, kept_bounds, keep, total_pairs,
+                       *, chunk, p):
+    """Compact a just-exported binning to its LIVE pairs only.
+
+    ``keep`` is the export fwd kernel's per-pair liveness row: a pair is
+    live iff some pixel has alpha > 0 with exclusive transmittance still
+    >= T_EPS/margin. At export parameters pruning is EXACT — a dead pair
+    adds zero to every accumulated color (w = alpha*T*applied = 0 at all
+    its alpha>0 pixels, which are all past the termination frontier) and
+    zero to every surviving pair's gradient (at any still-applied pixel
+    the dead pair's alpha is 0, so it never altered that pixel's carry).
+    Across the reuse cadence the margin absorbs parameter drift; the
+    staleness class is the same as the frozen permutation itself
+    (docs/PERF.md cross-step persistence; QUALITY_PRUNE.json measures it).
+
+    At converged density ~36% of pairs are dead (benchmarks/term_probe.py)
+    — the CUDA reference skips that work in-kernel via its per-pixel
+    early-out (forward.cu:403-453); chunked TPU streams can't skip at
+    sub-chunk granularity (measured: only 6.7% of chunks are fully dead),
+    so the cadence's cached steps prune the stream itself instead.
+
+    Cost (export steps only): two [MPA] lane cumsums, a 2-row [MPA]
+    scatter, and one 2-operand sort — no wide-payload traffic; the cached
+    path re-gathers payload fresh per step by gid anyway.
+    """
+    mpa = gid.shape[0]
+    ng = ranges.shape[1]
+    gstarts, gcounts = ranges[0], ranges[1]
+    keep_row = keep[0] if keep.ndim == 2 else keep
+    keep_i = (keep_row > 0.0).astype(jnp.int32)
+
+    csum = jnp.cumsum(keep_i)  # inclusive prefix of kept lanes
+    csum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), csum])
+    kept_per_group = csum0[gstarts + gcounts] - csum0[gstarts]
+    new_sizes = (kept_per_group + chunk - 1) // chunk * chunk
+    new_gstarts = (jnp.cumsum(new_sizes) - new_sizes).astype(jnp.int32)
+
+    # per-lane destination offset: off[lane] = new_gstart[g] - csum0[gstart[g]]
+    # for the lane's group g, materialized by scattering per-group deltas at
+    # group starts and cumsumming (no [MPA]-row gather from a [NG] table)
+    offs = new_gstarts - csum0[gstarts]
+    deltas = offs - jnp.concatenate([jnp.zeros((1,), jnp.int32), offs[:-1]])
+    lane_off = jnp.cumsum(
+        jnp.zeros((mpa,), jnp.int32).at[gstarts].add(deltas)
+    )
+    new_pos = jnp.where(keep_i == 1, lane_off + csum0[:mpa], mpa)
+
+    new_gid = jnp.full((mpa,), p, jnp.int32).at[new_pos].set(gid, mode="drop")
+    new_slot = jnp.zeros((mpa,), jnp.float32).at[new_pos].set(slot, mode="drop")
+    new_ranges = jnp.stack([new_gstarts, kept_per_group], axis=0)
+
+    # pruned kept_bounds: in gid-sorted order the ORIGINAL kept_bounds are
+    # exactly the per-gaussian segment boundaries, so a sort of (gid, keep)
+    # + prefix + gather at those boundaries counts each gaussian's
+    # surviving pairs (the fold's analytic-boundary trick, reused)
+    bnd = jnp.zeros((mpa + 1,), jnp.int32)
+    bnd = bnd.at[gstarts + gcounts].add(1)
+    bnd = bnd.at[gstarts].add(-1)
+    lvl = jnp.cumsum(bnd[:mpa])
+    masked = jnp.where(lvl == -1, jnp.clip(gid, 0, p - 1), jnp.int32(0x7FFFFF00))
+    _, sorted_keep = jax.lax.sort(
+        (masked, keep_i.astype(jnp.float32)), num_keys=1, is_stable=False
+    )
+    ck0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(sorted_keep)]
+    )
+    new_kept_bounds = ck0[jnp.clip(kept_bounds, 0, mpa)].astype(jnp.int32)
+
+    # total_pairs keeps its PRE-CULL meaning (overflow indicator vs
+    # max_pairs, matching the fresh path); the pruned live count is the
+    # sum of new_ranges[1]
+    return BinningCache(
+        ranges=new_ranges,
+        gid=new_gid,
+        slot=new_slot,
+        total_pairs=total_pairs,
+        kept_bounds=new_kept_bounds,
+    )
 
 
 # Static crossover between the two fold strategies (rows = MPA). The XLA
@@ -586,7 +743,7 @@ def blend_tiles_grouped_cached(
 @functools.lru_cache(maxsize=32)
 def _make_fused_blend(
     grid_w: int, grid_h: int, chunk: int, group: int, max_pairs: int,
-    export: bool = False,
+    export: bool = False, prune_margin: float | None = None,
 ):
     """Fused grouped blend: binning + sort + realign + kernels + fold.
 
@@ -598,11 +755,13 @@ def _make_fused_blend(
     atomicAdd into per-Gaussian buffers (backward.cu:546+).
 
     With ``export`` the blend additionally returns a BinningCache snapshot
-    of the permutation it just built, for cross-step reuse."""
+    of the permutation it just built, for cross-step reuse — pruned to the
+    live pairs when ``prune_margin`` is set (build_pruned_cache)."""
     from .pallas_binning import sort_expand_pack
 
     num_tiles = grid_w * grid_h
     ng = (num_tiles + group - 1) // group
+    keep_margin = prune_margin if (export and prune_margin) else None
 
     def _to_tiles(accum, teff):
         # [NG, 256, G, ...] -> [NG*G, 256, ...] cropped to num_tiles
@@ -616,28 +775,36 @@ def _make_fused_blend(
             grid_w=grid_w, grid_h=grid_h, max_pairs=max_pairs,
             chunk=chunk, group=group,
         )
-        accum, teff, traw, ndone = _run_fwd(sp.ranges, sp.pairs, ng, grid_w, chunk, group)
-        return sp, accum, teff, traw, ndone
+        outs = _run_fwd(sp.ranges, sp.pairs, ng, grid_w, chunk, group,
+                        keep_margin=keep_margin)
+        accum, teff, traw, ndone = outs[:4]
+        keep = outs[4] if keep_margin is not None else None
+        return sp, accum, teff, traw, ndone, keep
 
-    def _cache_of(sp, p):
+    def _cache_of(sp, p, keep):
         gid = jnp.clip(jax.lax.bitcast_convert_type(sp.pairs[10], jnp.int32), 0, p)
-        return BinningCache(
-            ranges=sp.ranges, gid=gid, slot=sp.pairs[F_SLOT],
-            total_pairs=sp.total_pairs, kept_bounds=sp.kept_bounds,
+        if keep is None:
+            return BinningCache(
+                ranges=sp.ranges, gid=gid, slot=sp.pairs[F_SLOT],
+                total_pairs=sp.total_pairs, kept_bounds=sp.kept_bounds,
+            )
+        return build_pruned_cache(
+            sp.ranges, gid, sp.pairs[F_SLOT], sp.kept_bounds, keep,
+            sp.total_pairs, chunk=chunk, p=p,
         )
 
     @jax.custom_vjp
     def blend(depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors):
-        sp, accum, teff, _, _ = _pipeline(
+        sp, accum, teff, _, _, keep = _pipeline(
             depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors
         )
         acc, te = _to_tiles(accum, teff)
         if export:
-            return acc, te, sp.total_pairs, _cache_of(sp, depths.shape[0])
+            return acc, te, sp.total_pairs, _cache_of(sp, depths.shape[0], keep)
         return acc, te, sp.total_pairs
 
     def fwd(depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors):
-        sp, accum, teff, traw, ndone = _pipeline(
+        sp, accum, teff, traw, ndone, keep = _pipeline(
             depths, rect_min, rect_max, tiles_d, means2d, conics, opacities, colors
         )
         acc, te = _to_tiles(accum, teff)
@@ -645,7 +812,7 @@ def _make_fused_blend(
         shapes = (depths.shape, rect_min.shape, tiles_d.shape)
         out = (acc, te, sp.total_pairs)
         if export:
-            out = out + (_cache_of(sp, depths.shape[0]),)
+            out = out + (_cache_of(sp, depths.shape[0], keep),)
         return out, (ranges3, sp.pairs, traw, sp.kept_bounds, depths.shape[0], shapes)
 
     def bwd(res, cts):
@@ -682,13 +849,16 @@ def blend_tiles_grouped_fused(
     chunk: int = 128,
     group: int = 8,
     export_cache: bool = False,
+    prune_margin: float | None = None,
 ):
     """Grouped production path: returns (accum [T,256,3], log_teff [T,256],
     total_pairs[, BinningCache]). Gradients flow to means2d/conics/
-    opacities/colors."""
+    opacities/colors. ``prune_margin`` (with export_cache) compacts the
+    exported cache to live pairs only — see build_pruned_cache."""
     assert chunk % 128 == 0
     assert group in (1, 8, 16, 32), "group must be 1 or a multiple of 8 (block tiling)"
-    fn = _make_fused_blend(grid_w, grid_h, chunk, group, max_pairs, export_cache)
+    fn = _make_fused_blend(grid_w, grid_h, chunk, group, max_pairs,
+                           export_cache, prune_margin)
     return fn(
         jax.lax.stop_gradient(pre.depths),
         jax.lax.stop_gradient(pre.rect_min),

@@ -45,6 +45,12 @@ class RasterizeConfig:
     backend: str = "auto"  # "auto" | "xla" | "pallas"
     pallas_chunk: int = 128  # lanes; must be a multiple of 128
     pallas_group: int = 8  # tiles per aligned group (1 = per-tile kernels)
+    # Exported binning caches are compacted to LIVE pairs only (pairs that
+    # contribute to the image or any gradient within a T_EPS/margin slack;
+    # ~36% of pairs are dead at converged density, benchmarks/term_probe.py).
+    # The margin is the transmittance ratio the prune keeps in reserve for
+    # parameter drift across the reuse cadence; 0 disables pruning.
+    cache_prune_margin: float = 10.0
 
     def __post_init__(self):
         if self.max_pairs % self.chunk != 0:
@@ -206,6 +212,7 @@ def render_preprocessed(
                 chunk=cfg.pallas_chunk,
                 group=cfg.pallas_group,
                 export_cache=True,
+                prune_margin=cfg.cache_prune_margin or None,
             )
         else:
             accum, log_t_eff, total_pairs = blend_tiles_grouped_fused(

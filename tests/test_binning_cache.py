@@ -43,7 +43,9 @@ def test_export_matches_plain_and_cached_matches_fresh():
     np.testing.assert_array_equal(plain.image, exp.image)
     cache = exp.binning_cache
     assert cache is not None
-    assert int(cache.total_pairs) == int(plain.total_pairs)
+    # the exported cache is pruned to LIVE pairs (build_pruned_cache);
+    # on a non-saturating scene nothing is dead so the counts agree
+    assert int(cache.total_pairs) <= int(plain.total_pairs)
 
     cached = jax.jit(
         lambda s, c: _render(s, CFG, binning_cache=c)
@@ -233,3 +235,136 @@ def test_staged_rebin_after_densify():
     assert m._bin_cache, "no cache in the post-densify phase"
     assert reused >= 3, "staged cadence never reused a binning cache"
     assert all(v["uses"] < 3 for v in m._bin_cache.values())
+
+
+def _saturating_scene(p=256, seed=7, hw=32):
+    """Opaque splats stacked in depth so back pairs are dead work: big
+    scales + opacity ~0.9 drive every pixel's T below T_EPS early."""
+    rng = np.random.default_rng(seed)
+    pts = np.stack([
+        rng.uniform(-0.5, 0.5, p), rng.uniform(-0.5, 0.5, p),
+        rng.uniform(2.0, 6.0, p),
+    ], -1).astype(np.float32)
+    scales = np.exp(rng.uniform(np.log(0.3), np.log(0.8), (p, 3))).astype(np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (p, 1))
+    ops = np.full(p, 0.9, np.float32)
+    dc = rng.uniform(-0.5, 0.5, (p, 1, 3)).astype(np.float32)
+    rest = np.zeros((p, 15, 3), np.float32)
+    alive = np.ones(p, bool)
+    from gsdf_slam_tpu.ops import CameraMatrices
+
+    cam = CameraMatrices.from_pose(
+        np.array([1.0, 0, 0, 0]), np.zeros(3), np.pi / 2, np.pi / 2
+    )
+    bg = np.zeros(3, np.float32)
+    return (pts, scales, quats, ops, dc, rest, alive, cam, bg)
+
+
+@pytest.mark.slow
+def test_pruned_cache_exact_at_export_params():
+    """build_pruned_cache drops ~dead pairs; at export parameters the
+    pruned cached render and its gradients must match the UNPRUNED cached
+    render exactly (dead pairs contribute zero to the image and to every
+    surviving gradient — docs/PERF.md r5)."""
+    scene = _saturating_scene()
+    cfg = dataclasses.replace(CFG, height=32, width=32)
+    cfg_noprune = dataclasses.replace(cfg, cache_prune_margin=0.0)
+
+    exp_full = jax.jit(
+        lambda s: _render(s, cfg_noprune, export_binning_cache=True),
+        static_argnums=(),
+    )(scene)
+    exp_pruned = jax.jit(
+        lambda s: _render(s, cfg, export_binning_cache=True)
+    )(scene)
+    # the export step's own image is exact either way
+    np.testing.assert_array_equal(exp_full.image, exp_pruned.image)
+    # total_pairs keeps pre-cull overflow semantics on both caches; the
+    # live count is the sum of per-group counts
+    assert int(exp_full.binning_cache.total_pairs) == int(
+        exp_pruned.binning_cache.total_pairs
+    )
+    full_n = int(np.asarray(exp_full.binning_cache.ranges)[1].sum())
+    pruned_n = int(np.asarray(exp_pruned.binning_cache.ranges)[1].sum())
+    assert pruned_n < full_n, (
+        f"saturating scene must prune pairs ({pruned_n} vs {full_n})"
+    )
+
+    def loss(params, cache, c):
+        s = params + scene[6:]
+        out = _render(s, c, binning_cache=cache)
+        return jnp.sum(out.image**2) + 0.1 * jnp.sum(out.final_t)
+
+    params = scene[:6]
+    out_full = jax.jit(
+        lambda s, c: _render(s, cfg_noprune, binning_cache=c)
+    )(scene, exp_full.binning_cache)
+    out_pruned = jax.jit(
+        lambda s, c: _render(s, cfg, binning_cache=c)
+    )(scene, exp_pruned.binning_cache)
+    np.testing.assert_allclose(out_pruned.image, out_full.image, atol=1e-6)
+    np.testing.assert_allclose(out_pruned.final_t, out_full.final_t, atol=1e-6)
+
+    g_full = jax.jit(jax.grad(lambda p: loss(p, exp_full.binning_cache, cfg_noprune)))(params)
+    g_pruned = jax.jit(jax.grad(lambda p: loss(p, exp_pruned.binning_cache, cfg)))(params)
+    for a, b in zip(g_full, g_pruned):
+        scale = max(float(jnp.abs(a).max()), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5
+        )
+
+
+def test_build_pruned_cache_layout_invariants():
+    """Unit check of the compaction math on a hand-built layout: group
+    counts, chunk-aligned starts, order preservation, and the pruned
+    kept_bounds (per-gaussian surviving-pair prefix)."""
+    from gsdf_slam_tpu.ops.pallas_blend_grouped import build_pruned_cache
+
+    chunk = 128
+    p = 10
+    # two groups: counts 200 and 150, chunk-aligned starts 0 and 256
+    gstarts = np.array([0, 256], np.int32)
+    gcounts = np.array([200, 150], np.int32)
+    mpa = 512
+    rng = np.random.default_rng(0)
+    gid = np.full(mpa, 7777, np.int32)  # garbage on padding lanes
+    slot = np.zeros(mpa, np.float32)
+    keep = np.zeros(mpa, np.float32)
+    lanes = []
+    for s0, cnt in zip(gstarts, gcounts):
+        g_sorted = np.sort(rng.integers(0, p, cnt))
+        gid[s0 : s0 + cnt] = g_sorted
+        slot[s0 : s0 + cnt] = np.linspace(0, 7.99, cnt).astype(int)
+        keep[s0 : s0 + cnt] = rng.random(cnt) < 0.6
+        lanes.append((s0, cnt))
+    # original kept_bounds: all lanes were "kept" by the cull
+    all_gids = np.concatenate(
+        [gid[s0 : s0 + cnt] for s0, cnt in lanes]
+    )
+    kb = np.cumsum(np.bincount(all_gids, minlength=p + 1))[:p].astype(np.int32)
+    ranges = jnp.asarray(np.stack([gstarts, gcounts]))
+
+    cache = build_pruned_cache(
+        ranges, jnp.asarray(gid), jnp.asarray(slot), jnp.asarray(kb),
+        jnp.asarray(keep), jnp.int32(350), chunk=chunk, p=p,
+    )
+    new_ranges = np.asarray(cache.ranges)
+    kept0 = int(keep[0:200].sum())
+    kept1 = int(keep[256:406].sum())
+    assert new_ranges[1].tolist() == [kept0, kept1]
+    assert new_ranges[0][0] == 0
+    assert new_ranges[0][1] == (kept0 + chunk - 1) // chunk * chunk
+    assert int(cache.total_pairs) == 350  # pre-cull semantics pass through
+    # order-preserving compaction of gid/slot
+    ng_gid = np.asarray(cache.gid)
+    ng_slot = np.asarray(cache.slot)
+    for (s0, cnt), (ns0, ncnt) in zip(lanes, zip(new_ranges[0], new_ranges[1])):
+        sel = keep[s0 : s0 + cnt] > 0
+        np.testing.assert_array_equal(ng_gid[ns0 : ns0 + ncnt], gid[s0 : s0 + cnt][sel])
+        np.testing.assert_array_equal(ng_slot[ns0 : ns0 + ncnt], slot[s0 : s0 + cnt][sel])
+    # pruned kept_bounds = per-gaussian prefix of surviving pairs
+    surviving = np.concatenate([
+        gid[s0 : s0 + cnt][keep[s0 : s0 + cnt] > 0] for s0, cnt in lanes
+    ])
+    kb_pruned = np.cumsum(np.bincount(surviving, minlength=p + 1))[:p]
+    np.testing.assert_array_equal(np.asarray(cache.kept_bounds), kb_pruned)
