@@ -662,13 +662,13 @@ def main():
     # appeared within GSDF_BENCH_ATTACH_TIMEOUT (and budget allows), kill
     # and respawn the worker once.
     attach_timeout = float(os.environ.get("GSDF_BENCH_ATTACH_TIMEOUT", "150"))
-    respawned = False
+    respawns_left = 3
     spawn_t = time.time()
     while time.time() < deadline:
         if proc.poll() is not None:
             break
         if (
-            not respawned
+            respawns_left > 0
             and time.time() - spawn_t > attach_timeout
             and deadline - time.time() > 60
             and "attach" not in collect(out_path)
@@ -676,7 +676,7 @@ def main():
             print("[bench] worker attach stalled; respawning", file=sys.stderr)
             proc.kill()
             proc = _spawn()
-            respawned = True
+            respawns_left -= 1
             spawn_t = time.time()
         time.sleep(1.0)
     if proc.poll() is None:
