@@ -457,19 +457,25 @@ class GaussianMapper:
         import jax
 
         from ..ops.pallas_binning import mpa_for
-        from ..ops.pallas_blend_grouped import BinningCache
+        from ..ops.pallas_blend_grouped import BinningCache, compact_cache_len
         from ..ops.projection import tile_grid
 
         gw, gh = tile_grid(cfg.width, cfg.height)
         ng = -(-(gw * gh) // cfg.pallas_group)
-        mpa = mpa_for(cfg.max_pairs, ng, cfg.pallas_chunk)
+        if cfg.cache_prune_margin and cfg.cache_prune_capacity_factor:
+            mpa = compact_cache_len(
+                cfg.max_pairs, ng, cfg.pallas_chunk,
+                cfg.cache_prune_capacity_factor,
+            )
+        else:
+            mpa = mpa_for(cfg.max_pairs, ng, cfg.pallas_chunk)
         p = self.state.capacity
         i32, f32 = jnp.int32, jnp.float32
         sds = jax.ShapeDtypeStruct
         return BinningCache(
             ranges=sds((2, ng), i32), gid=sds((mpa,), i32),
             slot=sds((mpa,), f32), total_pairs=sds((), i32),
-            kept_bounds=sds((p,), i32),
+            kept_bounds=sds((p,), i32), compact_overflow=sds((), i32),
         )
 
     def _launch_prewarm(self, args, kwargs, cfg, current_variant) -> None:
@@ -895,6 +901,20 @@ class GaussianMapper:
 
     def _commit_bin_cache(self, rec: dict) -> None:
         if rec["export_cache"] and rec["built_cache"] is not None:
+            # a compacted pruned cache that couldn't fit its live pairs is
+            # unusable (clamped counts = missing splats) — drop it and let
+            # the block re-bin fresh (build_pruned_cache)
+            ov = getattr(rec["built_cache"], "compact_overflow", None)
+            if ov is not None and int(ov):
+                if not getattr(self, "_warned_cache_overflow", False):
+                    self._warned_cache_overflow = True
+                    print(
+                        "[mapper] compacted binning cache overflowed its "
+                        "reduced capacity; falling back to fresh binning "
+                        "for this block (raise RasterizeConfig."
+                        "cache_prune_capacity_factor if this persists)"
+                    )
+                return
             self._bin_cache[rec["rk"]] = {
                 "cache": rec["built_cache"],
                 "uses": 0,

@@ -456,10 +456,25 @@ class BinningCache(NamedTuple):
     slot: jnp.ndarray  # [MPA] f32 tile-within-group of each pair
     total_pairs: jnp.ndarray  # [] int32 pair count at build time
     kept_bounds: jnp.ndarray  # [P] int32 prefix kept-pair counts (fold-v4)
+    # [] int32: 1 if a COMPACTED pruned cache could not fit its live pairs
+    # into the reduced static capacity (counts are clamped to stay in
+    # bounds; the render is then missing pairs). The mapper discards such
+    # caches and re-bins — see build_pruned_cache(out_len=...).
+    compact_overflow: jnp.ndarray = np.zeros((), np.int32)
+
+
+def compact_cache_len(max_pairs: int, ng: int, chunk: int,
+                      factor: float) -> int:
+    """Static pair capacity of a COMPACTED pruned cache: factor * max_pairs
+    plus per-group alignment slack, chunk-rounded. Shared by the cache
+    builder and the mapper's AOT-prewarm skeleton (shapes must agree or
+    prewarmed executables miss the persistent cache)."""
+    body = int(max_pairs * factor) + ng * chunk
+    return -(-body // chunk) * chunk
 
 
 def build_pruned_cache(ranges, gid, slot, kept_bounds, keep, total_pairs,
-                       *, chunk, p):
+                       *, chunk, p, out_len=None):
     """Compact a just-exported binning to its LIVE pairs only.
 
     ``keep`` is the export fwd kernel's per-pair liveness row: a pair is
@@ -482,9 +497,18 @@ def build_pruned_cache(ranges, gid, slot, kept_bounds, keep, total_pairs,
     Cost (export steps only): two [MPA] lane cumsums, a 2-row [MPA]
     scatter, and one 2-operand sort — no wide-payload traffic; the cached
     path re-gathers payload fresh per step by gid anyway.
+
+    ``out_len`` emits the cache at a SMALLER static pair capacity
+    (compact_cache_len), shrinking every shape-bound stage of the cached
+    step (the wide payload gather and the gradient fold's sort scale with
+    the array LENGTH, not the live count). If the live pairs don't fit,
+    group counts are clamped in-bounds and ``compact_overflow`` is set —
+    the mapper discards such a cache and re-bins.
     """
     mpa = gid.shape[0]
     ng = ranges.shape[1]
+    if out_len is not None:
+        assert out_len % chunk == 0 and out_len >= chunk
     gstarts, gcounts = ranges[0], ranges[1]
     keep_row = keep[0] if keep.ndim == 2 else keep
     keep_i = (keep_row > 0.0).astype(jnp.int32)
@@ -494,6 +518,17 @@ def build_pruned_cache(ranges, gid, slot, kept_bounds, keep, total_pairs,
     kept_per_group = csum0[gstarts + gcounts] - csum0[gstarts]
     new_sizes = (kept_per_group + chunk - 1) // chunk * chunk
     new_gstarts = (jnp.cumsum(new_sizes) - new_sizes).astype(jnp.int32)
+    out = mpa if out_len is None else out_len
+    overflow = jnp.int32(0)
+    if out_len is not None:
+        required = new_gstarts[-1] + new_sizes[-1]
+        overflow = (required > out).astype(jnp.int32)
+        # clamp so every group's aligned DMA region stays in bounds; the
+        # overflow flag invalidates the cache host-side
+        new_gstarts = jnp.minimum(new_gstarts, out - chunk)
+        kept_per_group = jnp.minimum(
+            kept_per_group, jnp.maximum(out - new_gstarts, 0)
+        )
 
     # per-lane destination offset: off[lane] = new_gstart[g] - csum0[gstart[g]]
     # for the lane's group g, materialized by scattering per-group deltas at
@@ -503,10 +538,10 @@ def build_pruned_cache(ranges, gid, slot, kept_bounds, keep, total_pairs,
     lane_off = jnp.cumsum(
         jnp.zeros((mpa,), jnp.int32).at[gstarts].add(deltas)
     )
-    new_pos = jnp.where(keep_i == 1, lane_off + csum0[:mpa], mpa)
+    new_pos = jnp.where(keep_i == 1, lane_off + csum0[:mpa], out)
 
-    new_gid = jnp.full((mpa,), p, jnp.int32).at[new_pos].set(gid, mode="drop")
-    new_slot = jnp.zeros((mpa,), jnp.float32).at[new_pos].set(slot, mode="drop")
+    new_gid = jnp.full((out,), p, jnp.int32).at[new_pos].set(gid, mode="drop")
+    new_slot = jnp.zeros((out,), jnp.float32).at[new_pos].set(slot, mode="drop")
     new_ranges = jnp.stack([new_gstarts, kept_per_group], axis=0)
 
     # pruned kept_bounds: in gid-sorted order the ORIGINAL kept_bounds are
@@ -535,6 +570,7 @@ def build_pruned_cache(ranges, gid, slot, kept_bounds, keep, total_pairs,
         slot=new_slot,
         total_pairs=total_pairs,
         kept_bounds=new_kept_bounds,
+        compact_overflow=overflow,
     )
 
 
@@ -744,6 +780,7 @@ def blend_tiles_grouped_cached(
 def _make_fused_blend(
     grid_w: int, grid_h: int, chunk: int, group: int, max_pairs: int,
     export: bool = False, prune_margin: float | None = None,
+    prune_factor: float = 0.0,
 ):
     """Fused grouped blend: binning + sort + realign + kernels + fold.
 
@@ -788,9 +825,13 @@ def _make_fused_blend(
                 ranges=sp.ranges, gid=gid, slot=sp.pairs[F_SLOT],
                 total_pairs=sp.total_pairs, kept_bounds=sp.kept_bounds,
             )
+        out_len = (
+            compact_cache_len(max_pairs, ng, chunk, prune_factor)
+            if prune_factor else None
+        )
         return build_pruned_cache(
             sp.ranges, gid, sp.pairs[F_SLOT], sp.kept_bounds, keep,
-            sp.total_pairs, chunk=chunk, p=p,
+            sp.total_pairs, chunk=chunk, p=p, out_len=out_len,
         )
 
     @jax.custom_vjp
@@ -850,15 +891,17 @@ def blend_tiles_grouped_fused(
     group: int = 8,
     export_cache: bool = False,
     prune_margin: float | None = None,
+    prune_factor: float = 0.0,
 ):
     """Grouped production path: returns (accum [T,256,3], log_teff [T,256],
     total_pairs[, BinningCache]). Gradients flow to means2d/conics/
-    opacities/colors. ``prune_margin`` (with export_cache) compacts the
-    exported cache to live pairs only — see build_pruned_cache."""
+    opacities/colors. ``prune_margin`` (with export_cache) prunes the
+    exported cache to live pairs only, and ``prune_factor`` additionally
+    emits it at a reduced static capacity — see build_pruned_cache."""
     assert chunk % 128 == 0
     assert group in (1, 8, 16, 32), "group must be 1 or a multiple of 8 (block tiling)"
     fn = _make_fused_blend(grid_w, grid_h, chunk, group, max_pairs,
-                           export_cache, prune_margin)
+                           export_cache, prune_margin, prune_factor)
     return fn(
         jax.lax.stop_gradient(pre.depths),
         jax.lax.stop_gradient(pre.rect_min),

@@ -51,6 +51,11 @@ class RasterizeConfig:
     # The margin is the transmittance ratio the prune keeps in reserve for
     # parameter drift across the reuse cadence; 0 disables pruning.
     cache_prune_margin: float = 10.0
+    # Pruned caches are emitted at factor*max_pairs static capacity so the
+    # cached step's shape-bound stages (payload gather, fold sort) shrink
+    # too; a cache whose live pairs don't fit flags compact_overflow and
+    # the mapper re-bins. 0 keeps the full capacity.
+    cache_prune_capacity_factor: float = 0.75
 
     def __post_init__(self):
         if self.max_pairs % self.chunk != 0:
@@ -213,6 +218,10 @@ def render_preprocessed(
                 group=cfg.pallas_group,
                 export_cache=True,
                 prune_margin=cfg.cache_prune_margin or None,
+                prune_factor=(
+                    cfg.cache_prune_capacity_factor
+                    if cfg.cache_prune_margin else 0.0
+                ),
             )
         else:
             accum, log_t_eff, total_pairs = blend_tiles_grouped_fused(

@@ -368,3 +368,42 @@ def test_build_pruned_cache_layout_invariants():
     ])
     kb_pruned = np.cumsum(np.bincount(surviving, minlength=p + 1))[:p]
     np.testing.assert_array_equal(np.asarray(cache.kept_bounds), kb_pruned)
+
+
+def test_build_pruned_cache_compact_overflow():
+    """A compacted cache whose live pairs don't fit must flag
+    compact_overflow and keep every group's aligned region in bounds
+    (the mapper then discards it — engine/mapper._commit_bin_cache)."""
+    from gsdf_slam_tpu.ops.pallas_blend_grouped import build_pruned_cache
+
+    chunk = 128
+    p = 10
+    mpa = 512
+    gstarts = np.array([0, 256], np.int32)
+    gcounts = np.array([256, 200], np.int32)
+    gid = np.zeros(mpa, np.int32)
+    slot = np.zeros(mpa, np.float32)
+    keep = np.ones(mpa, np.float32)  # nothing prunable: 456 live pairs
+    kb = np.full(p, 456, np.int32)
+    ranges = jnp.asarray(np.stack([gstarts, gcounts]))
+    out_len = 256  # too small for 456 live pairs
+    cache = build_pruned_cache(
+        ranges, jnp.asarray(gid), jnp.asarray(slot), jnp.asarray(kb),
+        jnp.asarray(keep), jnp.int32(456), chunk=chunk, p=p, out_len=out_len,
+    )
+    assert int(cache.compact_overflow) == 1
+    nr = np.asarray(cache.ranges)
+    for s0, cnt in zip(nr[0], nr[1]):
+        assert 0 <= s0 <= out_len - chunk
+        assert cnt >= 0
+        aligned = (cnt + chunk - 1) // chunk * chunk
+        assert s0 + aligned <= out_len
+    assert cache.gid.shape == (out_len,)
+
+    # and with a sufficient out_len the same inputs don't overflow
+    ok = build_pruned_cache(
+        ranges, jnp.asarray(gid), jnp.asarray(slot), jnp.asarray(kb),
+        jnp.asarray(keep), jnp.int32(456), chunk=chunk, p=p, out_len=512,
+    )
+    assert int(ok.compact_overflow) == 0
+    assert np.asarray(ok.ranges)[1].tolist() == [256, 200]
