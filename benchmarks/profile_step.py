@@ -30,8 +30,9 @@ def run_and_trace(trace_dir: str):
     # point (bench.py headline) instead of the legacy 200k scene
     prof_n = int(os.environ.get("GSDF_PROFILE_N", 0))
     if prof_n:
-        state, adam = bench.build_scene(n=prof_n, converged=True)
-        max_pairs = bench.autosize_pairs(state)
+        # calibrated_scene uses the committed CALIB constants (no count-fn
+        # compile / bisection on the profile path)
+        state, adam, max_pairs = bench.calibrated_scene(prof_n)
     else:
         state, adam = bench.build_scene()
         max_pairs = bench.MAX_PAIRS
